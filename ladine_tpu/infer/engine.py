@@ -1,0 +1,107 @@
+"""Nested-ensemble inference engine.
+
+The reference's inference hot loop (classification_train_separately.py:767-777)
+runs 5 members x 20 MC trials x 1000 reverse steps as sequential Python —
+100,000 eps_theta forwards per test batch, with CPU<->GPU model swaps between
+members. Here the whole thing is ONE jitted computation:
+
+    scan(timesteps)  over  vmap(members) x vmap(trials) x batch
+
+with the per-member image features computed once (BatchNorm eval uses running
+stats, so this is exact — see models/conditional.py) and the eps network's
+y-branch as the only per-step work. Members' parameter pytrees are stacked
+leaf-wise so the member axis is a real array axis that can be sharded over the
+TPU mesh ('member'), with batch sharded over 'data'.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+
+from ladine_tpu.models.conditional import ConditionalModel
+from ladine_tpu.ops.diffusion import ddim_sample_loop, p_sample_loop
+from ladine_tpu.ops.schedules import DiffusionSchedule
+
+
+def stack_members(variables_list: Sequence[Any]) -> Any:
+    """Stack K structurally-identical variable pytrees along a new leading
+    member axis. The reference keeps 5 (6) separate nn.Modules
+    (classification_train_separately.py:684-691); stacking makes the member
+    dimension vmappable and shardable."""
+    return jax.tree.map(lambda *xs: jnp.stack(xs, axis=0), *variables_list)
+
+
+def unstack_members(stacked: Any, num: int) -> List[Any]:
+    return [jax.tree.map(lambda x: x[i], stacked) for i in range(num)]
+
+
+def member_mc_sample(
+    model: ConditionalModel,
+    member_vars: Any,
+    x_flat: jnp.ndarray,
+    y0_hat: jnp.ndarray,
+    key: jax.Array,
+    sched: DiffusionSchedule,
+    mc_trials: int,
+    tau: Optional[jnp.ndarray] = None,
+    eta: float = 0.0,
+) -> jnp.ndarray:
+    """MC samples from ONE member's reverse chain: (mc_trials, B, y_dim).
+
+    Encoder features are computed once here — outside both the trial vmap and
+    the timestep scan (the reference recomputes them 1000x per trial).
+    y_T_mean == y0_hat, matching classification_train_separately.py:772-777.
+    """
+    f = model.apply(member_vars, x_flat, method="encode")
+
+    def eps_fn(y, t):
+        return model.apply(member_vars, f, y, t, y0_hat, method="eps")
+
+    def one_trial(k):
+        if tau is None:
+            return p_sample_loop(eps_fn, y0_hat, sched, k)
+        return ddim_sample_loop(eps_fn, y0_hat, sched, k, tau, eta)
+
+    return jax.vmap(one_trial)(jax.random.split(key, mc_trials))
+
+
+def nested_ensemble_sample(
+    model: ConditionalModel,
+    stacked_vars: Any,
+    x_flat: jnp.ndarray,
+    y0_hat_members: jnp.ndarray,
+    key: jax.Array,
+    sched: DiffusionSchedule,
+    mc_trials: int = 20,
+    tau: Optional[jnp.ndarray] = None,
+    eta: float = 0.0,
+) -> jnp.ndarray:
+    """Draw all members' MC samples in one shot: (M, mc_trials, B, y_dim).
+
+    Args:
+        stacked_vars: member-stacked ConditionalModel variables (see
+            :func:`stack_members`).
+        x_flat: (B, data_dim) flattened images.
+        y0_hat_members: (M, B, y_dim) softmaxed guidance per member — used as
+            both the eps-net conditioning and the prior mean y_T_mean.
+        tau: optional strided timestep subsequence for the DDIM sampler;
+            None = full ancestral chain (reference behavior).
+    """
+    num_members = y0_hat_members.shape[0]
+    member_keys = jax.random.split(key, num_members)
+
+    fn = functools.partial(
+        member_mc_sample,
+        model,
+        sched=sched,
+        mc_trials=mc_trials,
+        tau=tau,
+        eta=eta,
+    )
+    return jax.vmap(lambda v, yh, k: fn(v, x_flat, yh, k))(
+        stacked_vars, y0_hat_members, member_keys
+    )

@@ -1,0 +1,77 @@
+"""SEViT guidance: frozen ViT + K mapping MLPs -> K+1 guidance heads.
+
+Parity with the reference's ``compute_guiding_prediction``
+(classification_train_separately.py:330-350): head i (i=1..K) is
+mapping-MLP_i applied to the bare-patch features after ViT blocks 0..i-1;
+head K+1 is the full ViT classification forward. All heads are returned as
+logits stacked (K+1, B, C); callers softmax them (the softmaxed heads double
+as both the eps-net conditioning y_hat and the diffusion prior mean y_T_mean,
+classification_train_separately.py:955-963).
+
+TPU-first: one tapped forward instead of the reference's triangular
+re-computation; all K+1 heads come out of a single jitted apply.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from ladine_tpu.models.mlp import MappingMLP
+from ladine_tpu.models.vit import ViT
+
+
+class SEViTGuidance(nn.Module):
+    num_classes: int = 2
+    num_members: int = 5
+    vit_depth: int = 12
+    img_size: int = 224
+    patch_size: int = 16
+    embed_dim: int = 768
+    num_heads: int = 12
+    mlp_hidden_dims: tuple = (4096, 2048, 128)
+    use_pallas_attention: bool = False
+    dtype: Optional[jnp.dtype] = None
+
+    def setup(self):
+        self.vit = ViT(
+            num_classes=self.num_classes,
+            depth=self.vit_depth,
+            img_size=self.img_size,
+            patch_size=self.patch_size,
+            embed_dim=self.embed_dim,
+            num_heads=self.num_heads,
+            use_pallas_attention=self.use_pallas_attention,
+            dtype=self.dtype,
+            name="vit",
+        )
+        self.mlps = [
+            MappingMLP(
+                num_classes=self.num_classes,
+                hidden_dims=self.mlp_hidden_dims,
+                dtype=self.dtype,
+                name=f"mlp{i}",
+            )
+            for i in range(self.num_members)
+        ]
+
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        """(B, H, W, 3) -> (num_members + 1, B, num_classes) guidance logits."""
+        depths = tuple(range(1, self.num_members + 1))
+        vit_logits, taps = self.vit.forward_with_taps(x, depths)
+        heads = [mlp(tap) for mlp, tap in zip(self.mlps, taps)]
+        heads.append(vit_logits)
+        return jnp.stack(heads, axis=0)
+
+    def vit_logits(self, x: jnp.ndarray) -> jnp.ndarray:
+        """Full ViT forward only — the attack surface for white-box attacks
+        (the reference attacks the ViT, classification_train_separately.py:661-667)."""
+        return self.vit(x)
+
+    def tap_logits(self, x: jnp.ndarray) -> jnp.ndarray:
+        """Mapping heads only: (num_members, B, num_classes)."""
+        depths = tuple(range(1, self.num_members + 1))
+        taps = self.vit.tap_features(x, depths)
+        return jnp.stack([mlp(tap) for mlp, tap in zip(self.mlps, taps)], axis=0)
