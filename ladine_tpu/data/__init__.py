@@ -1,0 +1,15 @@
+from ladine_tpu.data.constants import (
+    ATTACK_NAMES,
+    CALIBRATED_TEMPERATURE,
+    IMAGE_SIZE,
+    NORM_STATS,
+    base_dataset,
+    dataset_split_for,
+)
+from ladine_tpu.data.imagefolder import (
+    ImageFolderDataset,
+    compute_mean_std,
+    load_attack_split,
+    load_split,
+)
+from ladine_tpu.data.synthetic import Gaussians, GaussianMixture1D, add_gaussian_noise
