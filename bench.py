@@ -1,0 +1,138 @@
+"""Nested-ensemble inference benchmark (the reference's headline workload).
+
+Workload = the reference's test-time hot loop
+(/root/reference/diffusion/classification_train_separately.py:767-777):
+a batch of 224x224x3 images through SEViT guidance (ViT-B/16 + 5 mapping
+MLPs) and then 5 ensemble members x 20 MC trials x 1000-step ancestral CARD
+reverse diffusion, full-size ConditionalModel (150528 -> 4096 encoder,
+4096-wide y-branch). Here the entire workload is one jitted program:
+scan(1000) over vmap(members x trials x batch), bf16 params/compute.
+
+Metric: ensemble inference images/sec (matches BASELINE.json).
+
+vs_baseline: the reference publishes no throughput numbers (BASELINE.md), so
+the baseline is an analytic estimate of the reference loop on its required
+hardware (A100-40GB, README.md:39): 100,000 sequential eps_theta forwards
+per 70-image batch, each recomputing the 150528->4096 encoder
+(latent_model.py:169-171), ~96 GFLOP/forward -> ~137 TFLOP/image; at a
+generous 12 TFLOP/s sustained TF32 that is ~0.087 images/sec. We report
+value / 0.087.
+
+Usage: python bench.py [--tiny] [--cpu] [--ddim N] [--batch B] [--trials K]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+REFERENCE_BASELINE_IMG_PER_SEC = 0.087  # analytic A100 estimate, see docstring
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--tiny", action="store_true", help="tiny shapes (smoke test)")
+    ap.add_argument("--cpu", action="store_true", help="force CPU")
+    ap.add_argument("--ddim", type=int, default=0, help="use DDIM with N steps (0 = full 1000-step ancestral)")
+    ap.add_argument("--batch", type=int, default=70)
+    ap.add_argument("--trials", type=int, default=20)
+    ap.add_argument("--members", type=int, default=5)
+    ap.add_argument("--timesteps", type=int, default=1000)
+    ap.add_argument("--repeats", type=int, default=3)
+    args = ap.parse_args()
+
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+
+    from ladine_tpu.infer import nested_ensemble_sample, stack_members
+    from ladine_tpu.models import ConditionalModel, SEViTGuidance
+    from ladine_tpu.ops import DiffusionSchedule, ddim_timesteps
+
+    if args.tiny:
+        img, patch, embed, heads, depth = 32, 8, 32, 4, args.members
+        feat = hidden = 64
+        mlp_dims = (64, 32, 16)
+        args.batch = min(args.batch, 8)
+        args.timesteps = min(args.timesteps, 50)
+    else:
+        img, patch, embed, heads, depth = 224, 16, 768, 12, 12
+        feat = hidden = 4096
+        mlp_dims = (4096, 2048, 128)
+
+    dtype = jnp.bfloat16 if not args.cpu else None
+    M, B, K, T = args.members, args.batch, args.trials, args.timesteps
+
+    guidance = SEViTGuidance(
+        num_classes=2, num_members=M, vit_depth=depth,
+        img_size=img, patch_size=patch, embed_dim=embed, num_heads=heads,
+        mlp_hidden_dims=mlp_dims, dtype=dtype,
+    )
+    cond = ConditionalModel(
+        data_dim=img * img * 3, feature_dim=feat, hidden_dim=hidden,
+        y_dim=2, n_steps=T + 1, dtype=dtype,
+    )
+    sched = DiffusionSchedule.create("linear", T, 1e-4, 0.02)
+    tau = ddim_timesteps(T, args.ddim) if args.ddim else None
+
+    print(f"[bench] init: M={M} B={B} K={K} T={T} img={img} feat={feat} "
+          f"sampler={'ddim%d' % args.ddim if args.ddim else 'ancestral'} "
+          f"platform={jax.devices()[0].platform}", file=sys.stderr)
+
+    key = jax.random.PRNGKey(0)
+    images = jax.random.uniform(key, (B, img, img, 3), jnp.float32)
+    x_flat = images.reshape(B, -1)
+    gvars = guidance.init(jax.random.PRNGKey(1), images[:1])
+    members = [
+        cond.init(jax.random.PRNGKey(10 + i), x_flat[:1], jnp.zeros((1, 2)),
+                  jnp.asarray(0), jnp.full((1, 2), 0.5))
+        for i in range(M)
+    ]
+    stacked = stack_members(members)
+    if dtype is not None:
+        # params in bf16: halves HBM footprint; matmuls run bf16 on the MXU
+        stacked = jax.tree.map(lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x, stacked)
+        gvars = jax.tree.map(lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x, gvars)
+
+    @jax.jit
+    def infer(gvars, stacked, images, key):
+        heads = guidance.apply(gvars, images)
+        y0_hat = jax.nn.softmax(heads.astype(jnp.float32), axis=-1)[:M]
+        xf = images.reshape(images.shape[0], -1)
+        return nested_ensemble_sample(cond, stacked, xf, y0_hat, key, sched,
+                                      mc_trials=K, tau=tau)
+
+    # compile + warmup
+    t0 = time.time()
+    out = infer(gvars, stacked, images, jax.random.PRNGKey(2))
+    out.block_until_ready()
+    print(f"[bench] compile+first run: {time.time() - t0:.1f}s, out {out.shape} "
+          f"finite={bool(jnp.isfinite(out.astype(jnp.float32)).all())}", file=sys.stderr)
+
+    times = []
+    for r in range(args.repeats):
+        t0 = time.time()
+        out = infer(gvars, stacked, images, jax.random.PRNGKey(3 + r))
+        out.block_until_ready()
+        times.append(time.time() - t0)
+        print(f"[bench] run {r}: {times[-1]:.3f}s", file=sys.stderr)
+
+    best = min(times)
+    img_per_sec = B / best
+    result = {
+        "metric": "ensemble_inference_images_per_sec",
+        "value": round(img_per_sec, 3),
+        "unit": f"images/sec ({M} members x {K} trials x "
+                f"{args.ddim if args.ddim else T}-step reverse, batch {B})",
+        "vs_baseline": round(img_per_sec / REFERENCE_BASELINE_IMG_PER_SEC, 1),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

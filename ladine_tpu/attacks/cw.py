@@ -1,0 +1,104 @@
+"""Carlini & Wagner L2 attack.
+
+Parity with the reference's foolbox call
+(/root/reference/diffusion/attack.py:76-81):
+``L2CarliniWagnerAttack(binary_search_steps=6, steps=1000, stepsize=0.01,
+confidence=0)``. Standard CW-L2: optimize delta in tanh space with Adam,
+objective ||adv - x||^2 + c * max(Z_true - max Z_other + confidence, 0),
+binary-searching the trade-off constant c per sample.
+
+TPU-first: the whole optimization (binary-search outer loop x Adam inner
+loop) is lax.fori_loop'd inside one jit — no host round trips.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Tuple
+
+import jax
+import jax.numpy as jnp
+
+LogitsFn = Callable[[jnp.ndarray], jnp.ndarray]
+
+
+def cw_l2(
+    logits_fn: LogitsFn,
+    x: jnp.ndarray,
+    labels: jnp.ndarray,
+    binary_search_steps: int = 6,
+    steps: int = 1000,
+    stepsize: float = 0.01,
+    confidence: float = 0.0,
+    initial_const: float = 1e-3,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    b = x.shape[0]
+    num_classes = None  # inferred from logits below
+    # tanh-space parameterization of the box [0, 1]
+    x_clip = jnp.clip(x, 1e-6, 1.0 - 1e-6)
+    x_atanh = jnp.arctanh(2.0 * x_clip - 1.0)
+
+    def to_image(w):
+        return (jnp.tanh(w) + 1.0) / 2.0
+
+    def cw_loss(w, c):
+        adv = to_image(w)
+        logits = logits_fn(adv)
+        onehot = jax.nn.one_hot(labels, logits.shape[-1])
+        z_true = jnp.sum(logits * onehot, axis=-1)
+        z_other = jnp.max(logits - 1e9 * onehot, axis=-1)
+        f = jnp.maximum(z_true - z_other + confidence, 0.0)
+        l2 = jnp.sum((adv - x) ** 2, axis=(1, 2, 3))
+        return jnp.sum(l2 + c * f), (l2, f)
+
+    grad_fn = jax.grad(lambda w, c: cw_loss(w, c)[0])
+
+    def inner(c, best_adv, best_l2):
+        # Adam on w, initialized at the clean image
+        w0 = x_atanh
+        m0 = jnp.zeros_like(w0)
+        v0 = jnp.zeros_like(w0)
+        b1, b2, eps = 0.9, 0.999, 1e-8
+
+        def body(i, carry):
+            w, m, v, best_adv, best_l2 = carry
+            g = grad_fn(w, c)
+            m = b1 * m + (1 - b1) * g
+            v = b2 * v + (1 - b2) * g**2
+            mh = m / (1 - b1 ** (i + 1.0))
+            vh = v / (1 - b2 ** (i + 1.0))
+            w = w - stepsize * mh / (jnp.sqrt(vh) + eps)
+            adv = to_image(w)
+            logits = logits_fn(adv)
+            fooled = jnp.argmax(logits, -1) != labels
+            l2 = jnp.sum((adv - x) ** 2, axis=(1, 2, 3))
+            better = fooled & (l2 < best_l2)
+            best_adv = jnp.where(better[:, None, None, None], adv, best_adv)
+            best_l2 = jnp.where(better, l2, best_l2)
+            return w, m, v, best_adv, best_l2
+
+        _, _, _, best_adv, best_l2 = jax.lax.fori_loop(
+            0, steps, body, (w0, m0, v0, best_adv, best_l2)
+        )
+        return best_adv, best_l2
+
+    def outer(step, carry):
+        c, lo, hi, best_adv, best_l2 = carry
+        best_adv, best_l2 = inner(c, best_adv, best_l2)
+        found = jnp.isfinite(best_l2)
+        # standard CW bisection: success -> shrink c, failure -> grow
+        new_hi = jnp.where(found, jnp.minimum(hi, c), hi)
+        new_lo = jnp.where(found, lo, jnp.maximum(lo, c))
+        new_c = jnp.where(
+            new_hi < 1e9, (new_lo + new_hi) / 2.0, c * 10.0
+        )
+        return new_c, new_lo, new_hi, best_adv, best_l2
+
+    c0 = jnp.full((b,), initial_const)
+    lo = jnp.zeros((b,))
+    hi = jnp.full((b,), 1e10)
+    carry = (c0, lo, hi, x, jnp.full((b,), jnp.inf))
+    carry = jax.lax.fori_loop(0, binary_search_steps, outer, carry)
+    best_adv, best_l2 = carry[3], carry[4]
+    success = jnp.isfinite(best_l2)
+    # unfooled samples keep the clean image (foolbox returns best found)
+    return best_adv, success

@@ -1,0 +1,130 @@
+"""White-box gradient attacks via jax.grad.
+
+Parity with the reference's foolbox wrapper
+(/root/reference/diffusion/attack.py:6-176): FGSM, PGD (Linf), BIM (Linf),
+L2PGD, all computed against the ViT classifier with cross-entropy, images in
+[0, 1] bounds (fb.models.PyTorchModel(model, bounds=(0,1)), attack.py:20).
+Default step counts/sizes mirror foolbox 3.x:
+
+* FGSM            — single signed-gradient step of size eps.
+* LinfPGD         — 40 steps, rel_stepsize 0.01/0.3 (abs = eps/4... foolbox
+                    uses rel_stepsize=0.01/0.3? see class docstring), random
+                    uniform start in the eps-ball.
+* LinfBIM         — 10 steps, rel_stepsize 0.2, no random start.
+* L2PGD           — 40 steps, rel_stepsize 0.025, random start in the L2 ball.
+
+The reference's foolbox import is a latent bug (absent from
+requirements.txt, SURVEY.md C11); here the attacks are first-class, jittable,
+and run on TPU — ``logits_fn`` is any pure (B,H,W,C)->(B,classes) function.
+
+Foolbox's exact default hyperparameters: LinfPGD(rel_stepsize=0.01/0.3,
+steps=40, random_start=True) -> abs_stepsize = eps * 0.0333; LinfBIM
+(rel_stepsize=0.2, steps=10); L2PGD(rel_stepsize=0.025, steps=50).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, Tuple
+
+import jax
+import jax.numpy as jnp
+
+LogitsFn = Callable[[jnp.ndarray], jnp.ndarray]
+
+
+def _ce_grad(logits_fn: LogitsFn, x: jnp.ndarray, labels: jnp.ndarray) -> jnp.ndarray:
+    def loss(xx):
+        logits = logits_fn(xx)
+        logp = jax.nn.log_softmax(logits, axis=-1)
+        return -jnp.mean(jnp.take_along_axis(logp, labels[:, None], axis=-1))
+
+    return jax.grad(loss)(x)
+
+
+def _success(logits_fn: LogitsFn, x: jnp.ndarray, labels: jnp.ndarray) -> jnp.ndarray:
+    return jnp.argmax(logits_fn(x), axis=-1) != labels
+
+
+def fgsm(
+    logits_fn: LogitsFn, x: jnp.ndarray, labels: jnp.ndarray, eps: float
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Fast Gradient Sign Method (attack.py:22-39)."""
+    g = _ce_grad(logits_fn, x, labels)
+    adv = jnp.clip(x + eps * jnp.sign(g), 0.0, 1.0)
+    return adv, _success(logits_fn, adv, labels)
+
+
+def _linf_project(adv, x, eps):
+    return jnp.clip(jnp.clip(adv, x - eps, x + eps), 0.0, 1.0)
+
+
+def _l2_project(adv, x, eps):
+    delta = adv - x
+    norms = jnp.sqrt(jnp.sum(delta**2, axis=(1, 2, 3), keepdims=True))
+    factor = jnp.minimum(1.0, eps / jnp.maximum(norms, 1e-12))
+    return jnp.clip(x + delta * factor, 0.0, 1.0)
+
+
+def pgd(
+    logits_fn: LogitsFn,
+    x: jnp.ndarray,
+    labels: jnp.ndarray,
+    eps: float,
+    key: jax.Array,
+    steps: int = 40,
+    rel_stepsize: float = 0.01 / 0.3,
+    random_start: bool = True,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Linf projected gradient descent (attack.py PGD mode)."""
+    alpha = eps * rel_stepsize
+    if random_start:
+        adv = _linf_project(x + jax.random.uniform(key, x.shape, x.dtype, -eps, eps), x, eps)
+    else:
+        adv = x
+
+    def body(i, adv):
+        g = _ce_grad(logits_fn, adv, labels)
+        return _linf_project(adv + alpha * jnp.sign(g), x, eps)
+
+    adv = jax.lax.fori_loop(0, steps, body, adv)
+    return adv, _success(logits_fn, adv, labels)
+
+
+def bim(
+    logits_fn: LogitsFn,
+    x: jnp.ndarray,
+    labels: jnp.ndarray,
+    eps: float,
+    steps: int = 10,
+    rel_stepsize: float = 0.2,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Linf Basic Iterative Method (attack.py BIM/LinfBIM modes): PGD without
+    random start, foolbox defaults."""
+    key = jax.random.PRNGKey(0)  # unused
+    return pgd(logits_fn, x, labels, eps, key, steps, rel_stepsize, random_start=False)
+
+
+def l2pgd(
+    logits_fn: LogitsFn,
+    x: jnp.ndarray,
+    labels: jnp.ndarray,
+    eps: float,
+    key: jax.Array,
+    steps: int = 50,
+    rel_stepsize: float = 0.025,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """L2 projected gradient descent (attack.py:41-60)."""
+    alpha = eps * rel_stepsize
+    u = jax.random.normal(key, x.shape, x.dtype)
+    u = u / jnp.maximum(jnp.sqrt(jnp.sum(u**2, axis=(1, 2, 3), keepdims=True)), 1e-12)
+    r = jax.random.uniform(key, (x.shape[0], 1, 1, 1)) ** (1.0 / (x[0].size))
+    adv = jnp.clip(x + eps * r * u, 0.0, 1.0)
+
+    def body(i, adv):
+        g = _ce_grad(logits_fn, adv, labels)
+        gn = jnp.sqrt(jnp.sum(g**2, axis=(1, 2, 3), keepdims=True))
+        return _l2_project(adv + alpha * g / jnp.maximum(gn, 1e-12), x, eps)
+
+    adv = jax.lax.fori_loop(0, steps, body, adv)
+    return adv, _success(logits_fn, adv, labels)

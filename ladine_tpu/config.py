@@ -1,0 +1,199 @@
+"""Typed configuration: one dataclass tree replacing the reference's three
+config tiers (YAML sections -> recursive argparse.Namespace + ~40 CLI flags +
+shell env vars; /root/reference/diffusion/main.py:166-296,
+configs/chest_x_ray.yml:1-102).
+
+Section and field names mirror the reference YAML so users can port configs
+mechanically; ``Config.from_yaml`` accepts the reference's files directly.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from dataclasses import dataclass, field
+from typing import Any, Dict, List, Optional, Tuple
+
+
+@dataclass
+class DataConfig:
+    dataset: str = "ChestXRay"
+    seed: int = 4444
+    label_min_max: Tuple[float, float] = (0.001, 0.999)
+    num_classes: int = 2
+    num_workers: int = 4
+    dataroot: str = "PATH"
+
+
+@dataclass
+class ModelConfig:
+    data_dim: int = 150528  # 224*224*3
+    feature_dim: int = 4096
+    hidden_dim: int = 4096
+    arch: str = "linear"
+    var_type: str = "fixedlarge"
+    ema_rate: float = 0.9999
+    ema: bool = True
+    # TPU additions
+    dtype: str = "float32"  # or "bfloat16"
+    use_pallas: bool = False
+
+
+@dataclass
+class DiffusionConfig:
+    beta_schedule: str = "linear"
+    beta_start: float = 1e-4
+    beta_end: float = 0.02
+    timesteps: int = 1000
+    include_guidance: bool = True
+    apply_aux_cls: bool = True
+    trained_aux_cls_ckpt_path: str = "./data/classification/pretrained/chest_x_ray_ckpt"
+    trained_diffusion_ckpt_path: List[str] = field(default_factory=list)
+    aux_cls_arch: str = "sevit"
+    num_members: int = 5
+    # TPU addition: strided sampler (0 = full ancestral, reference behavior)
+    ddim_steps: int = 0
+    ddim_eta: float = 0.0
+
+
+@dataclass
+class TrainingConfig:
+    batch_size: int = 30
+    n_epochs: int = 1000
+    warmup_epochs: int = 40
+    snapshot_freq: int = 1_000_000_000
+    logging_freq: int = 1200
+    validation_freq: int = 10
+
+
+@dataclass
+class SamplingConfig:
+    batch_size: int = 30
+    last_only: bool = True
+
+
+@dataclass
+class TestingConfig:
+    batch_size: int = 70
+    n_samples: int = 100  # total MC samples = members * trials
+    mc_trials: int = 20
+    n_bins: int = 10
+    PICP_range: Tuple[float, float] = (2.5, 97.5)
+    drop_last: bool = True  # reference test loaders drop the tail batch
+
+
+@dataclass
+class OptimConfig:
+    weight_decay: float = 0.0
+    optimizer: str = "Adam"
+    lr: float = 1e-3
+    beta1: float = 0.9
+    amsgrad: bool = False
+    eps: float = 1e-8
+    grad_clip: float = 1.0
+    lr_schedule: bool = True
+    min_lr: float = 0.0
+
+
+@dataclass
+class AuxConfig:
+    """Stage-1 trainer settings (train_transformer.py:94-97,
+    train_mapping.py:66-75)."""
+
+    vit_lr: float = 1e-4
+    vit_weight_decay: float = 0.1
+    vit_epochs: int = 200
+    vit_step_size: int = 10
+    vit_gamma: float = 0.5
+    mlp_lr: float = 1e-3
+    mlp_epochs: int = 301
+    mlp_step_size: int = 20
+    mlp_gamma: float = 0.5
+
+
+@dataclass
+class Config:
+    data: DataConfig = field(default_factory=DataConfig)
+    model: ModelConfig = field(default_factory=ModelConfig)
+    diffusion: DiffusionConfig = field(default_factory=DiffusionConfig)
+    training: TrainingConfig = field(default_factory=TrainingConfig)
+    sampling: SamplingConfig = field(default_factory=SamplingConfig)
+    testing: TestingConfig = field(default_factory=TestingConfig)
+    optim: OptimConfig = field(default_factory=OptimConfig)
+    aux_optim: OptimConfig = field(default_factory=OptimConfig)
+    aux: AuxConfig = field(default_factory=AuxConfig)
+
+    # ------------------------------------------------------------------ io
+
+    @classmethod
+    def from_dict(cls, d: Dict[str, Any]) -> "Config":
+        cfg = cls()
+        for section, values in d.items():
+            if not hasattr(cfg, section) or not isinstance(values, dict):
+                continue
+            sub = getattr(cfg, section)
+            for k, v in values.items():
+                _assign(sub, k, v)
+        return cfg
+
+    @classmethod
+    def from_yaml(cls, path: str) -> "Config":
+        import yaml
+
+        with open(path) as f:
+            return cls.from_dict(yaml.safe_load(f))
+
+    def to_dict(self) -> Dict[str, Any]:
+        return dataclasses.asdict(self)
+
+    def save_yaml(self, path: str) -> None:
+        """Config snapshot into the log dir (reference main.py:221-222)."""
+        import yaml
+
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        with open(path, "w") as f:
+            yaml.safe_dump(self.to_dict(), f)
+
+    def apply_overrides(self, overrides: Dict[str, Any]) -> "Config":
+        """Dotted-path CLI overrides, e.g. {'diffusion.timesteps': 50}
+        (replacing the reference's hand-wired flag-over-YAML block,
+        main.py:184-195)."""
+        for path, value in overrides.items():
+            obj = self
+            *parents, leaf = path.split(".")
+            for p in parents:
+                obj = getattr(obj, p)
+            _assign(obj, leaf, value)
+        return self
+
+
+def _assign(obj: Any, key: str, value: Any) -> None:
+    # tolerate reference-YAML field aliases and ignore unknown keys
+    aliases = {
+        "n_bins": "n_bins",
+        "sampling_size": None,  # unused here
+        "type": None,
+        "n_input_channels": None,
+        "n_input_padding": None,
+        "cat_x": None,
+        "cat_y_pred": None,
+        "vis_step": None,
+        "num_figs": None,
+        "granularity": None,
+        "trained_aux_cls_ckpt_name": None,
+        "aux_cls": None,  # nested; handled below
+    }
+    if key == "aux_cls" and isinstance(value, dict):
+        if "arch" in value and hasattr(obj, "aux_cls_arch"):
+            obj.aux_cls_arch = value["arch"]
+        return
+    if key in aliases and aliases[key] is None:
+        return
+    if not hasattr(obj, key):
+        return
+    current = getattr(obj, key)
+    if isinstance(current, tuple) and isinstance(value, (list, tuple)):
+        value = tuple(value)
+    if isinstance(value, list) and value and isinstance(value[0], list):
+        value = value[0]  # reference nests ckpt path lists one level deep
+    setattr(obj, key, value)

@@ -4,3 +4,14 @@ from ladine_tpu.infer.engine import (
     stack_members,
     unstack_members,
 )
+from ladine_tpu.infer.calibrate import (
+    calibration_objective,
+    temperature_search,
+    tune_temperature_nll,
+)
+from ladine_tpu.infer.evaluator import (
+    EvalConfig,
+    compute_report,
+    evaluate_ensemble,
+    make_eval_pipeline,
+)

@@ -1,0 +1,170 @@
+"""Nested-ensemble robust evaluation — the reference's ``test_atk`` entry
+(/root/reference/diffusion/classification_train_separately.py:631-840) as a
+single device pipeline + thin host loop.
+
+Per batch (all inside ONE jit): corruptions in the reference's fixed order ->
+optional white-box attack on the ViT -> SEViT guidance heads -> nested
+ensemble MC sampling (members x trials x reverse scan) -> raw sample logits.
+Host side accumulates numpy samples and computes the metric block
+(majority-vote accuracy, ECE/NLL/Brier on the calibrated mean confidence,
+per-class PIW and MC variance) — identical quantities to the reference's
+report (:810-838).
+
+The raw samples are returned too, so temperature calibration afterwards is a
+free reweighting (see infer/calibrate.py).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Dict, Iterable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ladine_tpu.attacks import make_attack
+from ladine_tpu.infer.engine import nested_ensemble_sample
+from ladine_tpu.metrics.classification import (
+    accuracy_topk,
+    brier,
+    ece,
+    ensemble_confidence,
+    majority_vote,
+    nll,
+)
+from ladine_tpu.metrics.uncertainty import mc_variance_per_class, piw_per_class
+from ladine_tpu.models.conditional import ConditionalModel
+from ladine_tpu.models.guidance import SEViTGuidance
+from ladine_tpu.ops.corruptions import apply_corruptions
+from ladine_tpu.ops.diffusion import ddim_timesteps
+from ladine_tpu.ops.schedules import DiffusionSchedule
+
+
+@dataclasses.dataclass(frozen=True)
+class EvalConfig:
+    """Corruption/attack/inference knobs (the reference's env-var surface,
+    test.sh:15-22 + main.py flags)."""
+
+    mc_trials: int = 20
+    temperature: float = 0.1737
+    noise_std: float = 0.0
+    low_resolution: int = 1
+    brightness: float = 0.0
+    contrast: float = 1.0
+    cover: Tuple[float, int] = (0.0, 0)
+    crop: float = 0.0
+    attack_name: Optional[str] = None
+    attack_eps: float = 0.03
+    ddim_steps: int = 0  # 0 = full ancestral chain (reference behavior)
+    selected_members: Optional[Tuple[int, ...]] = None  # None = all stacked members
+
+
+def make_eval_pipeline(
+    guidance: SEViTGuidance,
+    guidance_vars: Any,
+    model: ConditionalModel,
+    sched: DiffusionSchedule,
+    cfg: EvalConfig,
+):
+    """One jitted function: (stacked_vars, images, labels, key) -> samples
+    (M, K, B, C) raw diffusion outputs."""
+    num_members = guidance.num_members
+    tau = ddim_timesteps(sched.num_timesteps, cfg.ddim_steps) if cfg.ddim_steps else None
+    attack = (
+        make_attack(
+            cfg.attack_name,
+            cfg.attack_eps,
+            lambda x: guidance.apply(guidance_vars, x, method="vit_logits"),
+        )
+        if cfg.attack_name
+        else None
+    )
+
+    corrupt = functools.partial(
+        apply_corruptions,
+        noise_std=cfg.noise_std,
+        low_resolution=cfg.low_resolution,
+        brightness=cfg.brightness,
+        contrast=cfg.contrast,
+        cover=cfg.cover,
+        crop=cfg.crop,
+    )
+
+    @jax.jit
+    def pipeline(stacked_vars, images, labels, key):
+        k_corrupt, k_attack, k_sample = jax.random.split(key, 3)
+        images = corrupt(images, k_corrupt)
+        if attack is not None:
+            images, _ = attack(images, labels, k_attack)
+        heads = guidance.apply(guidance_vars, images)  # (M+1, B, C)
+        y0_hat = jax.nn.softmax(heads.astype(jnp.float32), axis=-1)
+        if cfg.selected_members is not None:
+            y0_hat = y0_hat[jnp.asarray(cfg.selected_members)]
+        else:
+            y0_hat = y0_hat[:num_members]
+        x_flat = images.reshape(images.shape[0], -1)
+        return nested_ensemble_sample(
+            model, stacked_vars, x_flat, y0_hat, k_sample, sched,
+            mc_trials=cfg.mc_trials, tau=tau,
+        )
+
+    return pipeline
+
+
+def evaluate_ensemble(
+    guidance: SEViTGuidance,
+    guidance_vars: Any,
+    model: ConditionalModel,
+    stacked_vars: Any,
+    sched: DiffusionSchedule,
+    batches: Iterable[Tuple[np.ndarray, np.ndarray]],
+    cfg: EvalConfig,
+    key: jax.Array,
+) -> Dict[str, Any]:
+    """Run the full robust-evaluation loop; returns the metric report plus
+    the raw cached samples (num_samples, N, C) for calibration."""
+    pipeline = make_eval_pipeline(guidance, guidance_vars, model, sched, cfg)
+
+    all_samples = []
+    all_labels = []
+    for i, (images, labels) in enumerate(batches):
+        key, sub = jax.random.split(key)
+        samples = pipeline(stacked_vars, jnp.asarray(images), jnp.asarray(labels), sub)
+        m, k, b, c = samples.shape
+        all_samples.append(np.asarray(samples.reshape(m * k, b, c), np.float32))
+        all_labels.append(np.asarray(labels))
+
+    samples = np.concatenate(all_samples, axis=1)  # (S, N, C)
+    labels = np.concatenate(all_labels)
+
+    return compute_report(samples, labels, cfg.temperature)
+
+
+def compute_report(samples: np.ndarray, labels: np.ndarray, temperature: float) -> Dict[str, Any]:
+    """The reference's aggregate metric block (:810-838) over cached samples."""
+    samples_j = jnp.asarray(samples)
+    labels_j = jnp.asarray(labels)
+    mv = majority_vote(samples_j)
+    conf = ensemble_confidence(samples_j, temperature)
+    (top1,) = accuracy_topk(conf, labels_j, (1,))
+    mv_acc = float(jnp.mean((mv == labels_j).astype(jnp.float32)) * 100.0)
+    piw_c, piw_i = piw_per_class(samples_j, mv, labels_j)
+    var_c, var_i = mc_variance_per_class(samples_j, mv, labels_j)
+    return {
+        "num_samples": int(samples.shape[0]),
+        "num_instances": int(labels.shape[0]),
+        "majority_vote_accuracy": mv_acc,
+        "mean_confidence_accuracy": float(top1),
+        "ece": float(ece(conf, labels_j)),
+        "nll": float(nll(conf, labels_j, eps=1e-12)),
+        "brier": float(brier(conf, labels_j)),
+        "piw_correct": np.asarray(piw_c).tolist(),
+        "piw_incorrect": np.asarray(piw_i).tolist(),
+        "mc_variance_correct": np.asarray(var_c).tolist(),
+        "mc_variance_incorrect": np.asarray(var_i).tolist(),
+        "temperature": float(temperature),
+        "samples": samples,
+        "labels": labels,
+    }

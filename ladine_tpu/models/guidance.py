@@ -36,6 +36,11 @@ class SEViTGuidance(nn.Module):
     dtype: Optional[jnp.dtype] = None
 
     def setup(self):
+        if self.vit_depth < self.num_members:
+            raise ValueError(
+                f"vit_depth ({self.vit_depth}) must be >= num_members "
+                f"({self.num_members}): member i taps after block i"
+            )
         self.vit = ViT(
             num_classes=self.num_classes,
             depth=self.vit_depth,

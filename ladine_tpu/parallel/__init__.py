@@ -1,0 +1,12 @@
+from ladine_tpu.parallel.mesh import (
+    DATA_AXIS,
+    MEMBER_AXIS,
+    data_sharding,
+    factor_mesh,
+    make_mesh,
+    member_data_sharding,
+    member_sharding,
+    replicated,
+    shard_pytree,
+    tree_shardings,
+)

@@ -1,0 +1,20 @@
+from ladine_tpu.train.ema import ema_init, ema_update
+from ladine_tpu.train.optim import make_optimizer, step_decay, warmup_cosine
+from ladine_tpu.train.diffusion_trainer import (
+    MemberTrainState,
+    create_member_state,
+    create_member_states,
+    make_full_train_step,
+    make_member_step,
+    make_multi_member_step,
+)
+from ladine_tpu.train.classifier_trainer import (
+    TrainState,
+    create_mapping_states,
+    create_vit_state,
+    cross_entropy,
+    make_mapping_eval_step,
+    make_mapping_train_step,
+    make_vit_eval_step,
+    make_vit_train_step,
+)

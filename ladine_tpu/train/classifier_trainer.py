@@ -1,0 +1,149 @@
+"""Stage-1 trainers: ViT fine-tune and mapping-MLP training.
+
+Parity:
+* ViT fine-tune (/root/reference/mapping/train_transformer.py:24-172):
+  timm ViT-B/16 with a fresh num_classes head, AdamW lr 1e-4 wd 0.1,
+  StepLR(10, gamma 0.5), cross-entropy, best-val-accuracy checkpointing.
+* Mapping MLPs (/root/reference/mapping/train_mapping.py:23-165): MLP_k on
+  the frozen ViT truncated at block k+1 (bare-patch tap path), Adam
+  (lr 1e-3 ChestXRay / 5e-4 ISIC), StepLR(20, 0.5), cross-entropy.
+
+TPU-first: the reference trains the five MLPs as five separate script runs,
+re-running the frozen ViT prefix each time. All taps have identical shape
+(B, 196, 768), so here ONE tapped ViT forward feeds all K MLPs and their
+parameter pytrees are stacked and vmapped — 5x fewer ViT forwards and one
+jitted step for the whole stage.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Tuple
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import optax
+
+from ladine_tpu.models.mlp import MappingMLP
+from ladine_tpu.models.vit import ViT
+
+
+class TrainState(flax.struct.PyTreeNode):
+    params: Any
+    opt_state: Any
+    step: jnp.ndarray
+
+
+def cross_entropy(logits: jnp.ndarray, labels: jnp.ndarray) -> jnp.ndarray:
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    return -jnp.mean(jnp.take_along_axis(logp, labels[..., None], axis=-1))
+
+
+# ---------------------------------------------------------------- ViT stage
+
+
+def create_vit_state(
+    vit: ViT, key: jax.Array, tx: optax.GradientTransformation, image_size: int = 224
+) -> TrainState:
+    x = jnp.zeros((1, image_size, image_size, 3))
+    params = vit.init(key, x)["params"]
+    return TrainState(params=params, opt_state=tx.init(params), step=jnp.asarray(0))
+
+
+def make_vit_train_step(vit: ViT, tx: optax.GradientTransformation) -> Callable:
+    def step(state: TrainState, images, labels) -> Tuple[TrainState, jnp.ndarray, jnp.ndarray]:
+        def loss_fn(params):
+            logits = vit.apply({"params": params}, images)
+            return cross_entropy(logits, labels), logits
+
+        (loss, logits), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        return (
+            state.replace(
+                params=optax.apply_updates(state.params, updates),
+                opt_state=new_opt,
+                step=state.step + 1,
+            ),
+            loss,
+            jnp.mean((jnp.argmax(logits, -1) == labels).astype(jnp.float32)),
+        )
+
+    return step
+
+
+def make_vit_eval_step(vit: ViT) -> Callable:
+    def step(params, images, labels):
+        logits = vit.apply({"params": params}, images)
+        return jnp.sum((jnp.argmax(logits, -1) == labels).astype(jnp.float32))
+
+    return step
+
+
+# ------------------------------------------------------------ mapping stage
+
+
+def create_mapping_states(
+    mlp: MappingMLP,
+    key: jax.Array,
+    tx: optax.GradientTransformation,
+    num_members: int,
+    num_patches: int = 196,
+    embed_dim: int = 768,
+) -> TrainState:
+    """Independent inits for all K MLPs, stacked along a member axis."""
+    x = jnp.zeros((1, num_patches, embed_dim))
+
+    def one(k):
+        params = mlp.init(k, x)["params"]
+        return TrainState(params=params, opt_state=tx.init(params), step=jnp.asarray(0))
+
+    states = [one(k) for k in jax.random.split(key, num_members)]
+    return jax.tree.map(lambda *xs: jnp.stack(xs), *states)
+
+
+def make_mapping_train_step(
+    vit: ViT, vit_params: Any, mlp: MappingMLP, tx: optax.GradientTransformation, num_members: int
+) -> Callable:
+    """One jitted step training ALL K mapping MLPs on their taps from a
+    single frozen-ViT forward: (stacked_state, images, labels) ->
+    (stacked_state, losses (K,), accs (K,))."""
+    depths = tuple(range(1, num_members + 1))
+
+    def one_member(state: TrainState, tap, labels):
+        def loss_fn(params):
+            logits = mlp.apply({"params": params}, tap)
+            return cross_entropy(logits, labels), logits
+
+        (loss, logits), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        acc = jnp.mean((jnp.argmax(logits, -1) == labels).astype(jnp.float32))
+        return (
+            state.replace(
+                params=optax.apply_updates(state.params, updates),
+                opt_state=new_opt,
+                step=state.step + 1,
+            ),
+            loss,
+            acc,
+        )
+
+    def step(states, images, labels):
+        taps = vit.apply({"params": vit_params}, images, depths, method="tap_features")
+        taps = jax.lax.stop_gradient(jnp.stack(taps))  # (K, B, 196, D)
+        return jax.vmap(one_member, in_axes=(0, 0, None))(states, taps, labels)
+
+    return step
+
+
+def make_mapping_eval_step(
+    vit: ViT, vit_params: Any, mlp: MappingMLP, num_members: int
+) -> Callable:
+    depths = tuple(range(1, num_members + 1))
+
+    def step(stacked_params, images, labels):
+        taps = vit.apply({"params": vit_params}, images, depths, method="tap_features")
+        taps = jnp.stack(taps)
+        logits = jax.vmap(lambda p, t: mlp.apply({"params": p}, t))(stacked_params, taps)
+        return jnp.sum((jnp.argmax(logits, -1) == labels[None]).astype(jnp.float32), axis=1)
+
+    return step

@@ -1,0 +1,181 @@
+"""Diffusion-member training: the CARD epsilon-matching objective.
+
+Parity with the reference train loop (classification_train_separately.py:842-1152):
+antithetic timestep sampling (:945-948), guidance softmax as both conditioning
+and prior mean (:952-963), ``q_sample`` forward draw, MSE on epsilon (:975),
+grad-clip 1.0 + Adam (:996-1006), EMA update (:1007-1009), warmup-cosine LR
+(:927-928), periodic validation by sampling the full reverse chain and
+checkpointing on best accuracy (:1054-1127).
+
+TPU-first design
+----------------
+The reference trains its five members as five separate process invocations
+(train.sh:15-79). Here all members train CONCURRENTLY: member states are
+stacked pytrees, the per-member step is ``vmap``ped over the member axis, and
+the full step (guidance forward included, no grad) is one jitted function.
+On a mesh the member axis shards over 'member' and the batch over 'data' —
+collectives are inserted by GSPMD; BatchNorm batch statistics are computed
+over the GLOBAL batch automatically (jnp.mean over a sharded axis).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Optional, Tuple
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import optax
+
+from ladine_tpu.models.conditional import ConditionalModel
+from ladine_tpu.models.guidance import SEViTGuidance
+from ladine_tpu.ops.diffusion import antithetic_timesteps, q_sample
+from ladine_tpu.ops.labels import one_hot_and_prototype
+from ladine_tpu.ops.schedules import DiffusionSchedule
+from ladine_tpu.train.ema import ema_init, ema_update
+
+
+class MemberTrainState(flax.struct.PyTreeNode):
+    """Everything per diffusion member, stackable along a member axis."""
+
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    ema: Any
+    step: jnp.ndarray
+
+
+def create_member_state(
+    model: ConditionalModel,
+    key: jax.Array,
+    tx: optax.GradientTransformation,
+    batch_size: int = 2,
+) -> MemberTrainState:
+    x = jnp.zeros((batch_size, model.data_dim))
+    y = jnp.zeros((batch_size, model.y_dim))
+    yhat = jnp.full((batch_size, model.y_dim), 1.0 / model.y_dim)
+    variables = model.init(key, x, y, jnp.asarray(0), yhat)
+    params = variables["params"]
+    return MemberTrainState(
+        params=params,
+        batch_stats=variables["batch_stats"],
+        opt_state=tx.init(params),
+        ema=ema_init(params),
+        step=jnp.asarray(0, jnp.int32),
+    )
+
+
+def create_member_states(
+    model: ConditionalModel,
+    key: jax.Array,
+    tx: optax.GradientTransformation,
+    num_members: int,
+    batch_size: int = 2,
+) -> MemberTrainState:
+    """Stacked states for all members (independent inits, like the
+    reference's five separate runs)."""
+    states = [
+        create_member_state(model, k, tx, batch_size)
+        for k in jax.random.split(key, num_members)
+    ]
+    return jax.tree.map(lambda *xs: jnp.stack(xs), *states)
+
+
+def make_member_step(
+    model: ConditionalModel,
+    tx: optax.GradientTransformation,
+    sched: DiffusionSchedule,
+    ema_rate: float = 0.9999,
+) -> Callable:
+    """One member's training step: (state, x_flat, y0, y0_hat, key) ->
+    (state, loss). Pure — vmap/jit/shard freely."""
+
+    def step(
+        state: MemberTrainState,
+        x_flat: jnp.ndarray,
+        y0: jnp.ndarray,
+        y0_hat: jnp.ndarray,
+        key: jax.Array,
+    ) -> Tuple[MemberTrainState, jnp.ndarray]:
+        n = x_flat.shape[0]
+        k_t, k_e = jax.random.split(key)
+        t = antithetic_timesteps(k_t, n, sched.num_timesteps)
+        e = jax.random.normal(k_e, y0.shape, y0.dtype)
+        y_t = q_sample(y0, y0_hat, sched, t, e)
+
+        def loss_fn(params):
+            eps_pred, mutated = model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                x_flat,
+                y_t,
+                t,
+                y0_hat,
+                train=True,
+                mutable=["batch_stats"],
+            )
+            return jnp.mean((e - eps_pred) ** 2), mutated["batch_stats"]
+
+        (loss, new_bs), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_ema = ema_update(state.ema, new_params, ema_rate)
+        return (
+            state.replace(
+                params=new_params,
+                batch_stats=new_bs,
+                opt_state=new_opt,
+                ema=new_ema,
+                step=state.step + 1,
+            ),
+            loss,
+        )
+
+    return step
+
+
+def make_multi_member_step(
+    model: ConditionalModel,
+    tx: optax.GradientTransformation,
+    sched: DiffusionSchedule,
+    ema_rate: float = 0.9999,
+) -> Callable:
+    """All members advance on the same batch, each conditioned on its own
+    guidance head: (stacked_state, x_flat, y0, y0_hat_members (M,B,C), key)
+    -> (stacked_state, losses (M,))."""
+    member_step = make_member_step(model, tx, sched, ema_rate)
+
+    def step(states, x_flat, y0, y0_hat_members, key):
+        keys = jax.random.split(key, y0_hat_members.shape[0])
+        return jax.vmap(member_step, in_axes=(0, None, None, 0, 0))(
+            states, x_flat, y0, y0_hat_members, keys
+        )
+
+    return step
+
+
+def make_full_train_step(
+    guidance: SEViTGuidance,
+    guidance_vars: Any,
+    model: ConditionalModel,
+    tx: optax.GradientTransformation,
+    sched: DiffusionSchedule,
+    num_members: int,
+    num_classes: int,
+    ema_rate: float = 0.9999,
+) -> Callable:
+    """The COMPLETE jittable training step: images -> frozen SEViT guidance
+    (stop-gradient) -> all-member diffusion updates.
+
+    (stacked_state, images NHWC, labels, key) -> (stacked_state, losses (M,))
+    """
+    multi_step = make_multi_member_step(model, tx, sched, ema_rate)
+
+    def step(states, images, labels, key):
+        heads = guidance.apply(guidance_vars, images)  # (M+1, B, C) logits
+        y0_hat = jax.lax.stop_gradient(jax.nn.softmax(heads, axis=-1)[:num_members])
+        y0, _ = one_hot_and_prototype(labels, num_classes)
+        x_flat = images.reshape(images.shape[0], -1)
+        return multi_step(states, x_flat, y0, y0_hat, key)
+
+    return step

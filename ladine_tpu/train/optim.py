@@ -1,0 +1,88 @@
+"""Optimizer factory and learning-rate schedules.
+
+Parity with /root/reference/diffusion/utils.py:52-96 and the stage-1 trainer
+settings (mapping/train_transformer.py:94-97, mapping/train_mapping.py:66-75):
+
+* ``get_optimizer``: Adam / RMSProp / SGD(momentum 0.9) with the reference's
+  hyperparameters, plus AdamW for the ViT fine-tune.
+* ``warmup_cosine``: linear warmup over ``warmup_epochs`` then half-cycle
+  cosine to ``min_lr`` over the remaining epochs, evaluated at fractional
+  epochs exactly like ``adjust_learning_rate`` (utils.py:83-96, called with
+  ``i/len(loader) + epoch`` per step).
+* ``step_decay``: torch StepLR(step_size, gamma) equivalent.
+* gradient clipping by global norm (torch clip_grad_norm_ semantics,
+  classification_train_separately.py:996-1002).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Callable, Optional
+
+import optax
+
+
+def warmup_cosine(
+    base_lr: float,
+    warmup_epochs: float,
+    total_epochs: float,
+    steps_per_epoch: int,
+    min_lr: float = 0.0,
+) -> Callable[[int], float]:
+    """Per-step schedule over fractional epochs (utils.py:83-96)."""
+
+    def schedule(step):
+        import jax.numpy as jnp
+
+        epoch = step / steps_per_epoch
+        warm = base_lr * epoch / warmup_epochs
+        cos = min_lr + (base_lr - min_lr) * 0.5 * (
+            1.0
+            + jnp.cos(math.pi * (epoch - warmup_epochs) / (total_epochs - warmup_epochs))
+        )
+        return jnp.where(epoch < warmup_epochs, warm, cos)
+
+    return schedule
+
+
+def step_decay(base_lr: float, step_size_epochs: int, gamma: float, steps_per_epoch: int):
+    """torch StepLR: lr * gamma^(epoch // step_size)."""
+
+    def schedule(step):
+        epoch = step // steps_per_epoch
+        return base_lr * gamma ** (epoch // step_size_epochs)
+
+    return schedule
+
+
+def make_optimizer(
+    name: str = "Adam",
+    lr: float | Callable = 1e-3,
+    weight_decay: float = 0.0,
+    beta1: float = 0.9,
+    eps: float = 1e-8,
+    grad_clip: Optional[float] = 1.0,
+) -> optax.GradientTransformation:
+    """Reference optimizer factory (utils.py:52-63) + grad clipping.
+
+    Note: the reference's Adam applies torch-style L2-in-gradient weight
+    decay (always 0 in the live configs); 'AdamW' is decoupled decay for the
+    ViT fine-tune (train_transformer.py:94-97).
+    """
+    if name == "Adam":
+        tx = optax.adam(lr, b1=beta1, b2=0.999, eps=eps)
+        if weight_decay:
+            tx = optax.chain(optax.add_decayed_weights(weight_decay), tx)
+    elif name == "AdamW":
+        tx = optax.adamw(lr, b1=beta1, b2=0.999, eps=eps, weight_decay=weight_decay)
+    elif name == "RMSProp":
+        tx = optax.rmsprop(lr, decay=0.99, eps=1e-8)
+        if weight_decay:
+            tx = optax.chain(optax.add_decayed_weights(weight_decay), tx)
+    elif name == "SGD":
+        tx = optax.sgd(lr, momentum=0.9)
+    else:
+        raise NotImplementedError(f"Optimizer {name} not understood.")
+    if grad_clip is not None:
+        tx = optax.chain(optax.clip_by_global_norm(grad_clip), tx)
+    return tx

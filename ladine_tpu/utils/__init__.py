@@ -1,0 +1,11 @@
+from ladine_tpu.utils.checkpoint import (
+    best_checkpoint_name,
+    load_checkpoint,
+    save_checkpoint,
+)
+from ladine_tpu.utils.logging import (
+    ScalarLogger,
+    device_memory_stats,
+    setup_logging,
+    trace,
+)
