@@ -48,6 +48,16 @@ def main():
 
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
+    else:
+        # register CPU alongside the TPU so the big fp32 inits can happen in
+        # host RAM; only the bf16 cast is transferred (the fp32 params +
+        # their bf16 copies together would blow the 16 GB HBM)
+        try:
+            cur = jax.config.jax_platforms or "axon"
+            if "cpu" not in cur:
+                jax.config.update("jax_platforms", cur + ",cpu")
+        except Exception:
+            pass
     import jax.numpy as jnp
 
     from ladine_tpu.infer import nested_ensemble_sample, stack_members
@@ -84,20 +94,44 @@ def main():
           f"sampler={'ddim%d' % args.ddim if args.ddim else 'ancestral'} "
           f"platform={jax.devices()[0].platform}", file=sys.stderr)
 
+    accel = jax.devices()[0]
+    pdtype = jnp.bfloat16 if dtype is not None else jnp.float32
+
+    # Throughput does not depend on parameter VALUES — build the exact
+    # parameter structure via eval_shape (zero FLOPs, zero RNG) and fill with
+    # deterministic small constants directly on the accelerator in bf16.
+    # (A real RNG init of the ~7B fp32 values takes ~30 min of host threefry
+    # and 2x the HBM; see git history.)
     key = jax.random.PRNGKey(0)
     images = jax.random.uniform(key, (B, img, img, 3), jnp.float32)
-    x_flat = images.reshape(B, -1)
-    gvars = guidance.init(jax.random.PRNGKey(1), images[:1])
-    members = [
-        cond.init(jax.random.PRNGKey(10 + i), x_flat[:1], jnp.zeros((1, 2)),
-                  jnp.asarray(0), jnp.full((1, 2), 0.5))
-        for i in range(M)
-    ]
-    stacked = stack_members(members)
-    if dtype is not None:
-        # params in bf16: halves HBM footprint; matmuls run bf16 on the MXU
-        stacked = jax.tree.map(lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x, stacked)
-        gvars = jax.tree.map(lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x, gvars)
+    x_flat1 = jnp.zeros((1, img * img * 3), jnp.float32)
+
+    def materialize(shapes, scale=0.02):
+        i = [0]
+
+        def fill(s):
+            i[0] += 1
+            # tiny deterministic values keep every activation finite
+            val = scale * ((i[0] % 7) - 3) / 3.0
+            return jnp.full(s.shape, val, pdtype if s.dtype == jnp.float32 else s.dtype)
+
+        return jax.tree.map(fill, shapes)
+
+    g_shapes = jax.eval_shape(lambda: guidance.init(jax.random.PRNGKey(1), images[:1]))
+    gvars = materialize(g_shapes)
+    m_shapes = jax.eval_shape(
+        lambda: cond.init(jax.random.PRNGKey(2), x_flat1, jnp.zeros((1, 2)),
+                          jnp.asarray(0), jnp.full((1, 2), 0.5))
+    )
+    one_member = materialize(m_shapes)
+    # distinct members are irrelevant for throughput; broadcast-stack
+    stacked = jax.tree.map(lambda x: jnp.broadcast_to(x, (M,) + x.shape), one_member)
+    # BN running var must be positive
+    stacked = dict(stacked)
+    stacked["batch_stats"] = jax.tree.map(jnp.abs, stacked["batch_stats"])
+    stacked["batch_stats"] = jax.tree.map(lambda x: x + 1.0, stacked["batch_stats"])
+    print(f"[bench] params materialized on {accel.platform} ({pdtype.__name__})",
+          file=sys.stderr)
 
     @jax.jit
     def infer(gvars, stacked, images, key):

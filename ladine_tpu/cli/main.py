@@ -1,0 +1,153 @@
+"""Main CLI — the diffusion-stage driver, mirroring the reference's
+``diffusion/main.py`` flag surface (:16-161) and dispatch (:299-380).
+
+Modes:
+    --train           train all diffusion members concurrently
+    --test            nested-ensemble robust evaluation (test_atk equivalent)
+    --calib           cached-sample temperature calibration (test_calibrate)
+    --demo            run the selected mode on tiny models + synthetic data
+
+Corruption/attack flags mirror the reference's env-var surface (test.sh:15-22):
+--noise_perturbation, --low_resolution, --brightness, --contrast,
+--covered K N, --crop, --attack_name, --epsilon.
+
+TPU additions: --ddim N (strided sampler), --bf16, --pallas.
+Accepted-for-compat no-ops: --low_mem_mode, --ni, --thread (the TPU build
+needs no CPU<->device model swapping; SURVEY.md C23).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+import jax
+import numpy as np
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="ladine-tpu diffusion stage")
+    p.add_argument("--config", type=str, default=None, help="YAML config (reference format accepted)")
+    p.add_argument("--exp", type=str, default="./exp", help="experiment dir")
+    p.add_argument("--doc", type=str, default="run", help="run name (log subdir)")
+    p.add_argument("--seed", type=int, default=4444)
+    p.add_argument("--dataroot", type=str, default=None)
+    p.add_argument("--preprocess", type=str, default="grayscaled",
+                   choices=["grayscaled", "standardized"])
+    # modes
+    p.add_argument("--train", action="store_true")
+    p.add_argument("--test", action="store_true")
+    p.add_argument("--calib", action="store_true")
+    p.add_argument("--demo", action="store_true", help="tiny models + synthetic data")
+    p.add_argument("--mlp_idx", type=int, default=None,
+                   help="train only this member (reference semantics); default all")
+    # checkpoints
+    p.add_argument("--guidance_ckpt", type=str, default=None)
+    p.add_argument("--diffusion_ckpt", type=str, nargs="*", default=None)
+    # diffusion overrides
+    p.add_argument("--timesteps", type=int, default=None)
+    p.add_argument("--ddim", type=int, default=0, help="strided sampler steps (0 = full chain)")
+    p.add_argument("--n_epochs", type=int, default=None)
+    # corruptions (test.sh env-var surface)
+    p.add_argument("--noise_perturbation", type=float, default=0.0)
+    p.add_argument("--low_resolution", type=int, default=1)
+    p.add_argument("--brightness", type=float, default=0.0)
+    p.add_argument("--contrast", type=float, default=1.0)
+    p.add_argument("--covered", type=float, nargs=2, default=[0.0, 0],
+                   metavar=("K", "N"))
+    p.add_argument("--crop", type=float, default=0.0)
+    # attacks
+    p.add_argument("--attack_name", type=str, default=None,
+                   choices=["FGSM", "PGD", "BIM", "L2PGD", "CW", "AUTOPGD"])
+    p.add_argument("--epsilon", type=float, default=0.03)
+    # inference
+    p.add_argument("--mc_trials", type=int, default=None)
+    p.add_argument("--temperature", type=float, default=None)
+    # TPU
+    p.add_argument("--bf16", action="store_true")
+    p.add_argument("--pallas", action="store_true")
+    p.add_argument("--cpu", action="store_true")
+    # reference-compat no-ops
+    p.add_argument("--low_mem_mode", action="store_true",
+                   help="accepted for compatibility; unnecessary on TPU")
+    p.add_argument("--ni", action="store_true", help="non-interactive (compat no-op)")
+    p.add_argument("--thread", type=int, default=4, help="compat no-op")
+    p.add_argument("--verbose", type=str, default="INFO")
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+
+    from ladine_tpu.config import Config
+    from ladine_tpu.cli.runner import Runner
+    from ladine_tpu.infer import EvalConfig
+
+    cfg = Config.from_yaml(args.config) if args.config else Config()
+    if args.dataroot:
+        cfg.data.dataroot = args.dataroot
+    if args.timesteps:
+        cfg.diffusion.timesteps = args.timesteps
+    if args.n_epochs:
+        cfg.training.n_epochs = args.n_epochs
+    if args.ddim:
+        cfg.diffusion.ddim_steps = args.ddim
+    if args.bf16:
+        cfg.model.dtype = "bfloat16"
+    if args.pallas:
+        cfg.model.use_pallas = True
+    if args.mc_trials:
+        cfg.testing.mc_trials = args.mc_trials
+    cfg.data.seed = args.seed
+
+    log_dir = os.path.join(args.exp, "logs", args.doc)
+    runner = Runner(cfg, log_dir=log_dir, demo=args.demo)
+    cfg.save_yaml(os.path.join(log_dir, "config.yml"))  # snapshot (main.py:221)
+    key = jax.random.PRNGKey(args.seed)
+
+    if args.temperature:
+        runner.temperature = args.temperature
+
+    eval_cfg = EvalConfig(
+        mc_trials=cfg.testing.mc_trials,
+        temperature=runner.temperature,
+        noise_std=args.noise_perturbation,
+        low_resolution=args.low_resolution,
+        brightness=args.brightness,
+        contrast=args.contrast,
+        cover=(args.covered[0], int(args.covered[1])),
+        crop=args.crop,
+        attack_name=args.attack_name,
+        attack_eps=args.epsilon,
+        ddim_steps=cfg.diffusion.ddim_steps,
+    )
+
+    if args.train:
+        result = runner.train(key, guidance_ckpt=args.guidance_ckpt,
+                              epochs=cfg.training.n_epochs)
+        print(json.dumps({"mode": "train", "best_accuracy": result["best_accuracy"],
+                          "steps": result["steps"]}))
+        return 0
+
+    if args.test or args.calib:
+        gvars = runner.init_guidance(jax.random.PRNGKey(0), args.guidance_ckpt)
+        stacked = runner.init_members(jax.random.PRNGKey(1), args.diffusion_ckpt)
+        if args.test:
+            report = runner.test(key, stacked, gvars, eval_cfg)
+        else:
+            report = runner.calibrate(key, stacked, gvars, eval_cfg)
+        printable = {k: v for k, v in report.items() if k not in ("samples", "labels")}
+        print(json.dumps({"mode": "test" if args.test else "calib", **printable}))
+        return 0
+
+    print("nothing to do: pass --train, --test or --calib (add --demo for a smoke run)",
+          file=sys.stderr)
+    return 2
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,261 @@
+"""Experiment runner: wires Config -> models -> train/eval/calibrate.
+
+The reference's ``Diffusion`` runner class
+(/root/reference/diffusion/classification_train_separately.py:177-1800)
+holds schedule tensors, loads the SEViT ensemble, and implements
+train/test_atk/test_calibrate. Here the runner is a thin orchestration layer
+over the pure-function library: it owns model construction, checkpoint IO,
+the host batch loop, and nothing numerical.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+import time
+from typing import Any, Dict, Iterable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ladine_tpu.config import Config
+from ladine_tpu.data import CALIBRATED_TEMPERATURE, base_dataset, load_attack_split, load_split
+from ladine_tpu.infer import (
+    EvalConfig,
+    compute_report,
+    evaluate_ensemble,
+    stack_members,
+    temperature_search,
+)
+from ladine_tpu.models import ConditionalModel, SEViTGuidance
+from ladine_tpu.ops import DiffusionSchedule
+from ladine_tpu.train import (
+    create_member_states,
+    make_full_train_step,
+    make_optimizer,
+    warmup_cosine,
+)
+from ladine_tpu.utils import (
+    ScalarLogger,
+    best_checkpoint_name,
+    load_checkpoint,
+    save_checkpoint,
+    setup_logging,
+)
+
+
+class Runner:
+    def __init__(self, config: Config, log_dir: str = "./logs", demo: bool = False):
+        self.config = config
+        self.log_dir = log_dir
+        self.demo = demo
+        self.logger = setup_logging(log_dir)
+        self.scalars = ScalarLogger(log_dir, use_tensorboard=False)
+        c = config
+
+        if demo:
+            # tiny structurally-real models + synthetic data: the runnable
+            # smoke path (the reference's --sanity_check, main.py:70-72,
+            # made first-class)
+            self.img, self.patch, self.embed, self.heads_n, self.depth = 16, 8, 16, 2, c.diffusion.num_members
+            self.feat = self.hidden = 16
+            self.mlp_dims = (16, 8, 8)
+        else:
+            self.img, self.patch, self.embed, self.heads_n, self.depth = 224, 16, 768, 12, 12
+            self.feat, self.hidden = c.model.feature_dim, c.model.hidden_dim
+            self.mlp_dims = (4096, 2048, 128)
+
+        dtype = jnp.bfloat16 if c.model.dtype == "bfloat16" else None
+        self.guidance = SEViTGuidance(
+            num_classes=c.data.num_classes,
+            num_members=c.diffusion.num_members,
+            vit_depth=self.depth,
+            img_size=self.img,
+            patch_size=self.patch,
+            embed_dim=self.embed,
+            num_heads=self.heads_n,
+            mlp_hidden_dims=self.mlp_dims,
+            use_pallas_attention=c.model.use_pallas,
+            dtype=dtype,
+        )
+        self.cond = ConditionalModel(
+            data_dim=self.img * self.img * 3,
+            feature_dim=self.feat,
+            hidden_dim=self.hidden,
+            y_dim=c.data.num_classes,
+            n_steps=c.diffusion.timesteps + 1,
+            guidance=c.diffusion.include_guidance,
+            dtype=dtype,
+        )
+        self.sched = DiffusionSchedule.create(
+            c.diffusion.beta_schedule,
+            c.diffusion.timesteps,
+            c.diffusion.beta_start,
+            c.diffusion.beta_end,
+        )
+        try:
+            self.temperature = CALIBRATED_TEMPERATURE[base_dataset(c.data.dataset)]
+        except (ValueError, KeyError):
+            self.temperature = 0.2555
+
+    # ----------------------------------------------------------- data
+
+    def _demo_batches(self, n_batches=3, batch=8, seed=0):
+        rng = np.random.default_rng(seed)
+        for _ in range(n_batches):
+            yield (
+                rng.random((batch, self.img, self.img, 3)).astype(np.float32),
+                rng.integers(0, self.config.data.num_classes, batch),
+            )
+
+    def _data_batches(self, split: str, batch_size: int, drop_last: bool, shuffle=False, seed=0):
+        c = self.config
+        name = c.data.dataset
+        if "Atk" in name:
+            attack = name.split("Atk")[1]
+            ds = load_attack_split(c.data.dataroot, attack, (self.img, self.img))
+        else:
+            ds = load_split(
+                c.data.dataroot, name, split,
+                preprocess=getattr(c.data, "preprocess", "grayscaled"),
+                image_size=(self.img, self.img),
+            )
+        return ds.batches(batch_size, shuffle=shuffle, drop_last=drop_last, seed=seed)
+
+    def batches(self, split: str, batch_size: int, drop_last: bool = False, shuffle=False, seed=0):
+        if self.demo:
+            return self._demo_batches(batch=batch_size)
+        return self._data_batches(split, batch_size, drop_last, shuffle, seed)
+
+    # ------------------------------------------------------- guidance io
+
+    def init_guidance(self, key: jax.Array, ckpt_path: Optional[str] = None):
+        images = jnp.zeros((1, self.img, self.img, 3))
+        gvars = self.guidance.init(key, images)
+        if ckpt_path and os.path.exists(ckpt_path):
+            gvars, _ = load_checkpoint(ckpt_path, target=gvars)
+            self.logger.info(f"loaded guidance from {ckpt_path}")
+        return gvars
+
+    def init_members(self, key: jax.Array, ckpt_paths: Optional[list] = None):
+        c = self.config
+        x = jnp.zeros((1, self.cond.data_dim))
+        members = [
+            self.cond.init(
+                k, x, jnp.zeros((1, c.data.num_classes)), jnp.asarray(0),
+                jnp.full((1, c.data.num_classes), 1.0 / c.data.num_classes),
+            )
+            for k in jax.random.split(key, c.diffusion.num_members)
+        ]
+        stacked = stack_members(members)
+        if ckpt_paths:
+            loaded = []
+            for i, p in enumerate(ckpt_paths):
+                tree, _ = load_checkpoint(p, target=members[i])
+                loaded.append(tree)
+            stacked = stack_members(loaded)
+            self.logger.info(f"loaded {len(loaded)} diffusion members")
+        return stacked
+
+    # ------------------------------------------------------------ train
+
+    def train(self, key: jax.Array, guidance_ckpt: Optional[str] = None,
+              epochs: Optional[int] = None) -> Dict[str, Any]:
+        """Train ALL diffusion members concurrently (reference: one member
+        per process invocation, train.sh)."""
+        c = self.config
+        epochs = epochs if epochs is not None else c.training.n_epochs
+        gvars = self.init_guidance(jax.random.PRNGKey(0), guidance_ckpt)
+
+        steps_per_epoch = max(1, sum(1 for _ in self.batches("train", c.training.batch_size)))
+        lr = (
+            warmup_cosine(c.optim.lr, c.training.warmup_epochs, epochs, steps_per_epoch, c.optim.min_lr)
+            if c.optim.lr_schedule
+            else c.optim.lr
+        )
+        tx = make_optimizer(c.optim.optimizer, lr, c.optim.weight_decay,
+                            c.optim.beta1, c.optim.eps, c.optim.grad_clip)
+        states = create_member_states(self.cond, key, tx, c.diffusion.num_members)
+        step_fn = jax.jit(make_full_train_step(
+            self.guidance, gvars, self.cond, tx, self.sched,
+            c.diffusion.num_members, c.data.num_classes, c.model.ema_rate,
+        ))
+
+        best_acc = -1.0
+        global_step = 0
+        t0 = time.time()
+        for epoch in range(epochs):
+            for images, labels in self.batches("train", c.training.batch_size, shuffle=True, seed=epoch):
+                key, sub = jax.random.split(key)
+                states, losses = step_fn(states, jnp.asarray(images), jnp.asarray(labels), sub)
+                global_step += 1
+                if global_step % max(1, c.training.logging_freq // 10) == 0 or global_step == 1:
+                    l = np.asarray(losses)
+                    self.logger.info(
+                        f"epoch {epoch} step {global_step} losses {np.round(l, 4).tolist()} "
+                        f"({time.time() - t0:.1f}s)"
+                    )
+                    self.scalars.add_scalar("loss/mean", float(l.mean()), global_step)
+            if epoch % c.training.validation_freq == 0 or epoch + 1 == epochs:
+                acc = self._validate(gvars, states, key)
+                self.scalars.add_scalar("accuracy", acc, global_step)
+                self.logger.info(f"epoch {epoch}: validation majority-vote acc {acc:.2f}%")
+                if acc > best_acc:
+                    best_acc = acc
+                    path = os.path.join(
+                        self.log_dir, best_checkpoint_name("diffu_all", 0, epoch, acc)
+                    )
+                    save_checkpoint(
+                        path,
+                        {"states": states, "guidance": gvars},
+                        {"epoch": epoch, "accuracy": acc, "kind": "diffusion_members"},
+                    )
+                    self.logger.info(f"saved best ckpt to {path}")
+        return {"best_accuracy": best_acc, "steps": global_step, "states": states, "guidance": gvars}
+
+    def _validate(self, gvars, states, key, mc_trials: int = 1) -> float:
+        c = self.config
+        variables = jax.vmap(lambda s: {"params": s.params, "batch_stats": s.batch_stats})(states)
+        cfg = EvalConfig(
+            mc_trials=mc_trials, temperature=self.temperature,
+            ddim_steps=c.diffusion.ddim_steps,
+        )
+        report = evaluate_ensemble(
+            self.guidance, gvars, self.cond, variables, self.sched,
+            self.batches("valid", c.sampling.batch_size), cfg, key,
+        )
+        return report["majority_vote_accuracy"]
+
+    # ------------------------------------------------------------- test
+
+    def test(self, key: jax.Array, stacked_vars, gvars, eval_cfg: EvalConfig) -> Dict[str, Any]:
+        c = self.config
+        report = evaluate_ensemble(
+            self.guidance, gvars, self.cond, stacked_vars, self.sched,
+            self.batches("test", c.testing.batch_size, drop_last=c.testing.drop_last),
+            eval_cfg, key,
+        )
+        self.logger.info(
+            f"test: mv-acc {report['majority_vote_accuracy']:.2f}% "
+            f"acc {report['mean_confidence_accuracy']:.2f}% "
+            f"ece {report['ece']:.4f} nll {report['nll']:.4f} brier {report['brier']:.4f}"
+        )
+        return report
+
+    # -------------------------------------------------------- calibrate
+
+    def calibrate(self, key: jax.Array, stacked_vars, gvars, eval_cfg: EvalConfig) -> Dict[str, Any]:
+        """Draw validation MC samples ONCE, then Nelder-Mead over the cached
+        objective (vs the reference re-running inference per evaluation)."""
+        c = self.config
+        report = evaluate_ensemble(
+            self.guidance, gvars, self.cond, stacked_vars, self.sched,
+            self.batches("valid", c.testing.batch_size, drop_last=c.testing.drop_last),
+            eval_cfg, key,
+        )
+        t_best, ece_best = temperature_search(report["samples"], report["labels"])
+        self.logger.info(f"calibrated temperature {t_best:.4f} (ece {ece_best:.4f})")
+        recal = compute_report(report["samples"], report["labels"], t_best)
+        recal["calibrated_temperature"] = t_best
+        return recal

@@ -1,0 +1,128 @@
+"""Stage-1b CLI: train the mapping MLPs on frozen ViT taps.
+
+Mirrors /root/reference/mapping/train_mapping.py:23-165 (Adam lr 1e-3
+ChestXRay / 5e-4 ISIC, StepLR(20, 0.5), CE, per-MLP best-val checkpoints) —
+but trains ALL K MLPs concurrently from one tapped frozen-ViT forward per
+batch instead of K separate script runs.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def build_parser():
+    p = argparse.ArgumentParser(description="ladine-tpu mapping-MLP training (stage 1b)")
+    p.add_argument("--dataset", type=str, default="ChestXRay")
+    p.add_argument("--dataroot", type=str, default=None)
+    p.add_argument("--preprocess", type=str, default="grayscaled")
+    p.add_argument("--vit_ckpt", type=str, default=None, help="stage-1a checkpoint")
+    p.add_argument("--epochs", type=int, default=301)
+    p.add_argument("--batch_size", type=int, default=30)
+    p.add_argument("--lr", type=float, default=None,
+                   help="default 1e-3 (ChestXRay) / 5e-4 (ISIC)")
+    p.add_argument("--step_size", type=int, default=20)
+    p.add_argument("--gamma", type=float, default=0.5)
+    p.add_argument("--num_members", type=int, default=5)
+    p.add_argument("--num_classes", type=int, default=2)
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--out", type=str, default="./models")
+    p.add_argument("--demo", action="store_true")
+    p.add_argument("--cpu", action="store_true")
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    if args.lr is None:
+        args.lr = 5e-4 if "ISIC" in args.dataset else 1e-3
+
+    from ladine_tpu.data import load_split
+    from ladine_tpu.models import MappingMLP, ViT
+    from ladine_tpu.train import (
+        create_mapping_states,
+        make_mapping_eval_step,
+        make_mapping_train_step,
+        make_optimizer,
+        step_decay,
+    )
+    from ladine_tpu.utils import load_checkpoint, save_checkpoint, setup_logging
+
+    logger = setup_logging(args.out)
+    if args.demo:
+        img, patch, embed, heads, depth = 16, 8, 16, 2, args.num_members
+        mlp_dims = (16, 8, 8)
+        args.epochs = min(args.epochs, 3)
+    else:
+        img, patch, embed, heads, depth = 224, 16, 768, 12, 12
+        mlp_dims = (4096, 2048, 128)
+
+    vit = ViT(num_classes=args.num_classes, img_size=img, patch_size=patch,
+              embed_dim=embed, depth=depth, num_heads=heads)
+    vparams = vit.init(jax.random.PRNGKey(0), jnp.zeros((1, img, img, 3)))["params"]
+    if args.vit_ckpt:
+        tree, _ = load_checkpoint(args.vit_ckpt, target={"params": vparams})
+        vparams = tree["params"]
+        logger.info(f"loaded frozen ViT from {args.vit_ckpt}")
+
+    mlp = MappingMLP(num_classes=args.num_classes, hidden_dims=mlp_dims)
+
+    def demo_batches(n=4, b=8, seed=0):
+        rng = np.random.default_rng(seed)
+        for _ in range(n):
+            labels = rng.integers(0, args.num_classes, b)
+            images = (rng.random((b, img, img, 3)) * 0.1 + labels[:, None, None, None] * 0.5)
+            yield images.astype(np.float32), labels
+
+    def batches(split, bs, shuffle=False, seed=0):
+        if args.demo:
+            return demo_batches(seed=seed)
+        ds = load_split(args.dataroot, args.dataset, split, args.preprocess,
+                        image_size=(img, img))
+        return ds.batches(bs, shuffle=shuffle, seed=seed)
+
+    steps_per_epoch = max(1, sum(1 for _ in batches("train", args.batch_size)))
+    tx = make_optimizer("Adam",
+                        step_decay(args.lr, args.step_size, args.gamma, steps_per_epoch),
+                        grad_clip=None)
+    num_patches = (img // patch) ** 2
+    states = create_mapping_states(mlp, jax.random.PRNGKey(args.seed), tx,
+                                   args.num_members, num_patches, embed)
+    train_step = jax.jit(make_mapping_train_step(vit, vparams, mlp, tx, args.num_members))
+    eval_step = jax.jit(make_mapping_eval_step(vit, vparams, mlp, args.num_members))
+
+    best = np.full(args.num_members, -1.0)
+    best_params = [None] * args.num_members
+    for epoch in range(args.epochs):
+        for images, labels in batches("train", args.batch_size, shuffle=True, seed=epoch):
+            states, losses, accs = train_step(states, jnp.asarray(images), jnp.asarray(labels))
+        correct = np.zeros(args.num_members)
+        total = 0
+        for images, labels in batches("valid", args.batch_size):
+            correct += np.asarray(eval_step(states.params, jnp.asarray(images), jnp.asarray(labels)))
+            total += len(labels)
+        val_acc = 100.0 * correct / max(total, 1)
+        logger.info(f"epoch {epoch}: val accs {np.round(val_acc, 2).tolist()}")
+        for k in range(args.num_members):
+            if val_acc[k] > best[k]:
+                best[k] = val_acc[k]
+                best_params[k] = jax.tree.map(lambda x: np.asarray(x[k]), states.params)
+    for k in range(args.num_members):
+        path = os.path.join(args.out, args.dataset, "MLPs", f"block_{k}")
+        save_checkpoint(path, {"params": best_params[k]},
+                        {"member": k, "accuracy": float(best[k]), "kind": "mapping_mlp"})
+        logger.info(f"saved MLP {k} (acc {best[k]:.2f}%) to {path}")
+    print(json.dumps({"mode": "train_mapping", "best_val_accuracies": best.tolist()}))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,109 @@
+"""Stage-1a CLI: fine-tune the ViT backbone.
+
+Mirrors /root/reference/mapping/train_transformer.py:24-172 (AdamW lr 1e-4
+wd 0.1, StepLR(10, 0.5), CE, best-val-accuracy checkpoint), data-parallel on
+whatever devices are present.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def build_parser():
+    p = argparse.ArgumentParser(description="ladine-tpu ViT fine-tune (stage 1a)")
+    p.add_argument("--dataset", type=str, default="ChestXRay")
+    p.add_argument("--dataroot", type=str, default=None)
+    p.add_argument("--preprocess", type=str, default="grayscaled")
+    p.add_argument("--epochs", type=int, default=200)
+    p.add_argument("--batch_size", type=int, default=30)
+    p.add_argument("--eval_batch_size", type=int, default=70)
+    p.add_argument("--lr", type=float, default=1e-4)
+    p.add_argument("--weight_decay", type=float, default=0.1)
+    p.add_argument("--step_size", type=int, default=10)
+    p.add_argument("--gamma", type=float, default=0.5)
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--num_classes", type=int, default=2)
+    p.add_argument("--out", type=str, default="./models")
+    p.add_argument("--demo", action="store_true")
+    p.add_argument("--cpu", action="store_true")
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+
+    from ladine_tpu.data import load_split
+    from ladine_tpu.models import ViT
+    from ladine_tpu.train import (
+        create_vit_state,
+        make_optimizer,
+        make_vit_eval_step,
+        make_vit_train_step,
+        step_decay,
+    )
+    from ladine_tpu.utils import save_checkpoint, setup_logging
+
+    logger = setup_logging(args.out)
+    if args.demo:
+        img, patch, embed, heads, depth = 16, 8, 16, 2, 2
+        args.epochs = min(args.epochs, 3)
+    else:
+        img, patch, embed, heads, depth = 224, 16, 768, 12, 12
+
+    vit = ViT(num_classes=args.num_classes, img_size=img, patch_size=patch,
+              embed_dim=embed, depth=depth, num_heads=heads)
+
+    def demo_batches(n=4, b=8, seed=0):
+        rng = np.random.default_rng(seed)
+        for _ in range(n):
+            labels = rng.integers(0, args.num_classes, b)
+            # separable synthetic images so the demo can actually learn
+            images = (rng.random((b, img, img, 3)) * 0.1 + labels[:, None, None, None] * 0.5)
+            yield images.astype(np.float32), labels
+
+    def batches(split, bs, shuffle=False, seed=0):
+        if args.demo:
+            return demo_batches(seed=seed)
+        ds = load_split(args.dataroot, args.dataset, split, args.preprocess,
+                        image_size=(img, img))
+        return ds.batches(bs, shuffle=shuffle, seed=seed)
+
+    steps_per_epoch = max(1, sum(1 for _ in batches("train", args.batch_size)))
+    tx = make_optimizer("AdamW",
+                        step_decay(args.lr, args.step_size, args.gamma, steps_per_epoch),
+                        weight_decay=args.weight_decay, grad_clip=None)
+    state = create_vit_state(vit, jax.random.PRNGKey(args.seed), tx, image_size=img)
+    train_step = jax.jit(make_vit_train_step(vit, tx))
+    eval_step = jax.jit(make_vit_eval_step(vit))
+
+    best_acc = -1.0
+    for epoch in range(args.epochs):
+        for images, labels in batches("train", args.batch_size, shuffle=True, seed=epoch):
+            state, loss, acc = train_step(state, jnp.asarray(images), jnp.asarray(labels))
+        correct = total = 0
+        for images, labels in batches("valid", args.eval_batch_size):
+            correct += float(eval_step(state.params, jnp.asarray(images), jnp.asarray(labels)))
+            total += len(labels)
+        val_acc = 100.0 * correct / max(total, 1)
+        logger.info(f"epoch {epoch}: train loss {float(loss):.4f} val acc {val_acc:.2f}%")
+        if val_acc > best_acc:
+            best_acc = val_acc
+            path = os.path.join(args.out, f"vit_{args.dataset}")
+            save_checkpoint(path, {"params": state.params},
+                            {"epoch": epoch, "accuracy": val_acc, "kind": "vit"})
+            logger.info(f"saved best ViT to {path}")
+    print(json.dumps({"mode": "train_transformer", "best_val_accuracy": best_acc}))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

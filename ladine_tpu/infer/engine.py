@@ -49,17 +49,28 @@ def member_mc_sample(
     mc_trials: int,
     tau: Optional[jnp.ndarray] = None,
     eta: float = 0.0,
+    use_pallas_eps: bool = False,
 ) -> jnp.ndarray:
     """MC samples from ONE member's reverse chain: (mc_trials, B, y_dim).
 
     Encoder features are computed once here — outside both the trial vmap and
     the timestep scan (the reference recomputes them 1000x per trial).
     y_T_mean == y0_hat, matching classification_train_separately.py:772-777.
+    ``use_pallas_eps`` swaps the scan body for the fully-fused Pallas kernel
+    path (kernels/fused_eps.py).
     """
     f = model.apply(member_vars, x_flat, method="encode")
 
-    def eps_fn(y, t):
-        return model.apply(member_vars, f, y, t, y0_hat, method="eps")
+    if use_pallas_eps:
+        from ladine_tpu.kernels.fused_eps import fused_eps
+
+        def eps_fn(y, t):
+            return fused_eps(member_vars, f, y, t, y0_hat)
+
+    else:
+
+        def eps_fn(y, t):
+            return model.apply(member_vars, f, y, t, y0_hat, method="eps")
 
     def one_trial(k):
         if tau is None:
@@ -79,6 +90,7 @@ def nested_ensemble_sample(
     mc_trials: int = 20,
     tau: Optional[jnp.ndarray] = None,
     eta: float = 0.0,
+    use_pallas_eps: bool = False,
 ) -> jnp.ndarray:
     """Draw all members' MC samples in one shot: (M, mc_trials, B, y_dim).
 
@@ -101,6 +113,7 @@ def nested_ensemble_sample(
         mc_trials=mc_trials,
         tau=tau,
         eta=eta,
+        use_pallas_eps=use_pallas_eps,
     )
     return jax.vmap(lambda v, yh, k: fn(v, x_flat, yh, k))(
         stacked_vars, y0_hat_members, member_keys

@@ -74,3 +74,55 @@ def mc_variance_per_class(
     correct = group_mean(lambda c: labels == c)
     incorrect = group_mean(lambda c: labels != c)
     return correct, incorrect
+
+
+def ttest_certainty(samples, alpha: float = 0.05):
+    """Per-instance paired t-test certainty flag (reference dead path,
+    classification_train_separately.py:1224-1227): is the mean MC logit of
+    the winning class significantly above the runner-up at level alpha?
+
+    samples: (S, B, C). Returns (certain (B,) bool, p_values (B,)).
+    Host-side (scipy), like the reference.
+    """
+    import numpy as np
+
+    s = np.asarray(samples)
+    mean = s.mean(axis=0)  # (B, C)
+    order = np.argsort(-mean, axis=1)
+    top, second = order[:, 0], order[:, 1]
+    b = s.shape[1]
+    a_col = s[:, np.arange(b), top]
+    b_col = s[:, np.arange(b), second]
+    try:
+        from scipy import stats
+
+        _, p = stats.ttest_rel(a_col, b_col, axis=0)
+    except ImportError:  # normal-approx fallback
+        d = a_col - b_col
+        t = d.mean(0) / (d.std(0, ddof=1) / np.sqrt(d.shape[0]) + 1e-12)
+        from math import erf, sqrt
+
+        p = np.array([2 * (1 - 0.5 * (1 + erf(abs(ti) / sqrt(2)))) for ti in t])
+    return p < alpha, p
+
+
+def pavpu(
+    probs,
+    labels,
+    uncertain_mask,
+    conf_threshold: float = 0.5,
+):
+    """PAvPU — Patch Accuracy vs Patch Uncertainty (reference dead path,
+    classification_train_separately.py:1703-1720):
+    (n_accurate_certain + n_inaccurate_uncertain) / N.
+
+    uncertain_mask: (B,) bool — e.g. the negation of ttest_certainty."""
+    import numpy as np
+
+    probs = np.asarray(probs)
+    labels = np.asarray(labels)
+    unc = np.asarray(uncertain_mask)
+    accurate = probs.argmax(-1) == labels
+    n_ac = np.sum(accurate & ~unc)
+    n_iu = np.sum(~accurate & unc)
+    return float((n_ac + n_iu) / len(labels))

@@ -28,6 +28,7 @@ FORMAT = "%(levelname)s - %(filename)s - %(asctime)s - %(message)s"
 def setup_logging(log_dir: Optional[str] = None, verbose: str = "INFO") -> logging.Logger:
     logger = logging.getLogger("ladine_tpu")
     logger.setLevel(getattr(logging, verbose.upper(), logging.INFO))
+    logger.propagate = False  # avoid duplicate lines via the root logger
     logger.handlers.clear()
     sh = logging.StreamHandler()
     sh.setFormatter(logging.Formatter(FORMAT))

@@ -1,0 +1,124 @@
+"""torch -> flax weight conversion for the reference's pretrained artifacts.
+
+The reference's three stages hand off whole-module torch pickles
+(vit_base_patch16_224_{DS}.pth, MLPs/block_{i}.pth) and diffusion
+state_dicts (diffu{k}_ckpt_best_*.pth with key 'noise_estimator') —
+SURVEY.md section 1 "artifact handoff". These converters map torch
+state_dicts (timm 0.3.x ViT layout, the reference MLP, and the
+ConditionalModel) onto our Flax parameter pytrees so numerical-parity
+evaluation against reference-trained weights is possible on TPU.
+
+Conventions: torch Linear stores (out, in) -> flax (in, out) transpose;
+torch Conv2d (out, in, kh, kw) -> flax (kh, kw, in, out); BatchNorm
+weight/bias/running_mean/running_var -> scale/bias + batch_stats mean/var.
+
+torch is only needed to *load* .pth files; converters accept plain
+numpy state dicts too (e.g. re-serialized without torch).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Mapping, Tuple
+
+import numpy as np
+
+
+def _np(x):
+    if hasattr(x, "detach"):
+        x = x.detach().cpu().numpy()
+    return np.asarray(x)
+
+
+def load_torch_state_dict(path: str) -> Dict[str, np.ndarray]:
+    """Load a .pth file into a flat numpy state dict. Whole-module pickles
+    are reduced via .state_dict(); plain dicts pass through."""
+    import torch
+
+    obj = torch.load(path, map_location="cpu", weights_only=False)
+    if hasattr(obj, "state_dict"):
+        obj = obj.state_dict()
+    return {k: _np(v) for k, v in obj.items()}
+
+
+def _linear(sd: Mapping[str, np.ndarray], prefix: str) -> Dict[str, np.ndarray]:
+    return {
+        "kernel": _np(sd[f"{prefix}.weight"]).T,
+        "bias": _np(sd[f"{prefix}.bias"]),
+    }
+
+
+def _bn(sd: Mapping[str, np.ndarray], prefix: str) -> Tuple[Dict, Dict]:
+    params = {"scale": _np(sd[f"{prefix}.weight"]), "bias": _np(sd[f"{prefix}.bias"])}
+    stats = {"mean": _np(sd[f"{prefix}.running_mean"]), "var": _np(sd[f"{prefix}.running_var"])}
+    return params, stats
+
+
+def convert_mapping_mlp(sd: Mapping[str, np.ndarray]) -> Dict[str, Any]:
+    """Reference Classifier (mapping/models/mlp.py:4-29) -> MappingMLP params."""
+    return {
+        f"linear{i}": {"Dense_0": _linear(sd, f"linear{i}")} for i in range(1, 5)
+    }
+
+
+def convert_conditional_model(sd: Mapping[str, np.ndarray]) -> Dict[str, Any]:
+    """Reference ConditionalModel ('linear' arch, guidance=True;
+    latent_model.py:108-184) -> our ConditionalModel variables
+    ({'params', 'batch_stats'}).
+
+    torch layout: encoder_x.{0,3,6} Linear, encoder_x.{1,4} BatchNorm1d,
+    norm BatchNorm1d, lin{1,2,3}.{lin Linear, embed Embedding}, unetnorm{1,2,3}
+    BatchNorm1d, lin4 Linear.
+    """
+    params: Dict[str, Any] = {}
+    stats: Dict[str, Any] = {}
+
+    for ours, theirs in [("enc_lin1", "encoder_x.0"), ("enc_lin2", "encoder_x.3"),
+                         ("enc_lin3", "encoder_x.6")]:
+        params[ours] = {"Dense_0": _linear(sd, theirs)}
+    for ours, theirs in [("enc_bn1", "encoder_x.1"), ("enc_bn2", "encoder_x.4"),
+                         ("norm", "norm")]:
+        p, s = _bn(sd, theirs)
+        params[ours], stats[ours] = p, s
+    for i in (1, 2, 3):
+        params[f"lin{i}"] = {
+            "TorchLinear_0": {"Dense_0": _linear(sd, f"lin{i}.lin")},
+            "embed": _np(sd[f"lin{i}.embed.weight"]),
+        }
+        p, s = _bn(sd, f"unetnorm{i}")
+        params[f"unetnorm{i}"], stats[f"unetnorm{i}"] = p, s
+    params["lin4"] = {"Dense_0": _linear(sd, "lin4")}
+    return {"params": params, "batch_stats": stats}
+
+
+def convert_vit(sd: Mapping[str, np.ndarray], depth: int = 12) -> Dict[str, Any]:
+    """timm 0.3.x vit_base_patch16_224 state dict -> our ViT params.
+
+    timm layout: patch_embed.proj (Conv2d), cls_token, pos_embed,
+    blocks.{i}.{norm1, attn.qkv, attn.proj, norm2, mlp.fc1, mlp.fc2}, norm,
+    head.
+    """
+    params: Dict[str, Any] = {
+        "patch_proj": {
+            "kernel": _np(sd["patch_embed.proj.weight"]).transpose(2, 3, 1, 0),
+            "bias": _np(sd["patch_embed.proj.bias"]),
+        },
+        "cls_token": _np(sd["cls_token"]),
+        "pos_embed": _np(sd["pos_embed"]),
+        "norm": {"scale": _np(sd["norm.weight"]), "bias": _np(sd["norm.bias"])},
+        "head": {"Dense_0": _linear(sd, "head")},
+    }
+    for i in range(depth):
+        p = f"blocks.{i}"
+        params[f"block{i}"] = {
+            "norm1": {"scale": _np(sd[f"{p}.norm1.weight"]), "bias": _np(sd[f"{p}.norm1.bias"])},
+            "norm2": {"scale": _np(sd[f"{p}.norm2.weight"]), "bias": _np(sd[f"{p}.norm2.bias"])},
+            "attn": {
+                "qkv": {"Dense_0": _linear(sd, f"{p}.attn.qkv")},
+                "proj": {"Dense_0": _linear(sd, f"{p}.attn.proj")},
+            },
+            "mlp": {
+                "fc1": {"Dense_0": _linear(sd, f"{p}.mlp.fc1")},
+                "fc2": {"Dense_0": _linear(sd, f"{p}.mlp.fc2")},
+            },
+        }
+    return params
