@@ -46,6 +46,8 @@ def build_parser() -> argparse.ArgumentParser:
     # checkpoints
     p.add_argument("--guidance_ckpt", type=str, default=None)
     p.add_argument("--diffusion_ckpt", type=str, nargs="*", default=None)
+    p.add_argument("--resume_training", type=str, default=None,
+                   help="checkpoint dir to resume training from")
     # diffusion overrides
     p.add_argument("--timesteps", type=int, default=None)
     p.add_argument("--ddim", type=int, default=0, help="strided sampler steps (0 = full chain)")
@@ -128,7 +130,8 @@ def main(argv=None) -> int:
 
     if args.train:
         result = runner.train(key, guidance_ckpt=args.guidance_ckpt,
-                              epochs=cfg.training.n_epochs)
+                              epochs=cfg.training.n_epochs,
+                              resume_from=args.resume_training)
         print(json.dumps({"mode": "train", "best_accuracy": result["best_accuracy"],
                           "steps": result["steps"]}))
         return 0

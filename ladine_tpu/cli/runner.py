@@ -161,9 +161,13 @@ class Runner:
     # ------------------------------------------------------------ train
 
     def train(self, key: jax.Array, guidance_ckpt: Optional[str] = None,
-              epochs: Optional[int] = None) -> Dict[str, Any]:
+              epochs: Optional[int] = None,
+              resume_from: Optional[str] = None) -> Dict[str, Any]:
         """Train ALL diffusion members concurrently (reference: one member
-        per process invocation, train.sh)."""
+        per process invocation, train.sh). ``resume_from`` restores states +
+        guidance + epoch from a checkpoint (the reference's --resume_training
+        is commented out, classification_train_separately.py:890-908 — here
+        it works)."""
         c = self.config
         epochs = epochs if epochs is not None else c.training.n_epochs
         gvars = self.init_guidance(jax.random.PRNGKey(0), guidance_ckpt)
@@ -177,6 +181,12 @@ class Runner:
         tx = make_optimizer(c.optim.optimizer, lr, c.optim.weight_decay,
                             c.optim.beta1, c.optim.eps, c.optim.grad_clip)
         states = create_member_states(self.cond, key, tx, c.diffusion.num_members)
+        start_epoch = 0
+        if resume_from:
+            tree, meta = load_checkpoint(resume_from, target={"states": states, "guidance": gvars})
+            states, gvars = tree["states"], tree["guidance"]
+            start_epoch = int(meta.get("epoch", -1)) + 1
+            self.logger.info(f"resumed from {resume_from} at epoch {start_epoch}")
         step_fn = jax.jit(make_full_train_step(
             self.guidance, gvars, self.cond, tx, self.sched,
             c.diffusion.num_members, c.data.num_classes, c.model.ema_rate,
@@ -185,7 +195,7 @@ class Runner:
         best_acc = -1.0
         global_step = 0
         t0 = time.time()
-        for epoch in range(epochs):
+        for epoch in range(start_epoch, epochs):
             for images, labels in self.batches("train", c.training.batch_size, shuffle=True, seed=epoch):
                 key, sub = jax.random.split(key)
                 states, losses = step_fn(states, jnp.asarray(images), jnp.asarray(labels), sub)
