@@ -42,6 +42,8 @@ def main():
     ap.add_argument("--members", type=int, default=5)
     ap.add_argument("--timesteps", type=int, default=1000)
     ap.add_argument("--repeats", type=int, default=3)
+    ap.add_argument("--pallas", action="store_true",
+                    help="use the fully-fused Pallas eps kernel in the scan body")
     args = ap.parse_args()
 
     import jax
@@ -139,7 +141,8 @@ def main():
         y0_hat = jax.nn.softmax(heads.astype(jnp.float32), axis=-1)[:M]
         xf = images.reshape(images.shape[0], -1)
         return nested_ensemble_sample(cond, stacked, xf, y0_hat, key, sched,
-                                      mc_trials=K, tau=tau)
+                                      mc_trials=K, tau=tau,
+                                      use_pallas_eps=args.pallas)
 
     # compile + warmup
     t0 = time.time()

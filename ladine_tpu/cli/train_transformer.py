@@ -30,6 +30,10 @@ def build_parser():
     p.add_argument("--gamma", type=float, default=0.5)
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--num_classes", type=int, default=2)
+    p.add_argument("--model_arch", type=str, default="vit",
+                   choices=["vit", "resnet18", "resnet50"],
+                   help="backbone family (reference train_transformer.py:59-84 "
+                        "also offered resnet/efficientnet/deit/convit)")
     p.add_argument("--out", type=str, default="./models")
     p.add_argument("--demo", action="store_true")
     p.add_argument("--cpu", action="store_true")
@@ -59,8 +63,13 @@ def main(argv=None) -> int:
     else:
         img, patch, embed, heads, depth = 224, 16, 768, 12, 12
 
-    vit = ViT(num_classes=args.num_classes, img_size=img, patch_size=patch,
-              embed_dim=embed, depth=depth, num_heads=heads)
+    if args.model_arch == "vit":
+        vit = ViT(num_classes=args.num_classes, img_size=img, patch_size=patch,
+                  embed_dim=embed, depth=depth, num_heads=heads)
+    else:
+        from ladine_tpu.models.encoders import ResNet
+
+        vit = ResNet(num_classes=args.num_classes, arch=args.model_arch)
 
     def demo_batches(n=4, b=8, seed=0):
         rng = np.random.default_rng(seed)
@@ -91,13 +100,15 @@ def main(argv=None) -> int:
             state, loss, acc = train_step(state, jnp.asarray(images), jnp.asarray(labels))
         correct = total = 0
         for images, labels in batches("valid", args.eval_batch_size):
-            correct += float(eval_step(state.params, jnp.asarray(images), jnp.asarray(labels)))
+            correct += float(eval_step(state.params, jnp.asarray(images), jnp.asarray(labels),
+                                       state.batch_stats))
             total += len(labels)
         val_acc = 100.0 * correct / max(total, 1)
         logger.info(f"epoch {epoch}: train loss {float(loss):.4f} val acc {val_acc:.2f}%")
         if val_acc > best_acc:
             best_acc = val_acc
-            path = os.path.join(args.out, f"vit_{args.dataset}")
+            path = os.path.join(args.out, f"{args.model_arch}_{args.dataset}"
+                                if args.model_arch != "vit" else f"vit_{args.dataset}")
             save_checkpoint(path, {"params": state.params},
                             {"epoch": epoch, "accuracy": val_acc, "kind": "vit"})
             logger.info(f"saved best ViT to {path}")

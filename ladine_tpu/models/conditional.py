@@ -98,17 +98,47 @@ class ConditionalModel(nn.Module):
     y_dim: int = 2
     n_steps: int = 1001
     guidance: bool = True
+    arch: str = "linear"  # linear | simple | lenet | lenet5 | fashioncnn | resnet18 | resnet50
     dtype: Optional[jnp.dtype] = None
 
     def setup(self):
         def bn(name):
             return nn.BatchNorm(epsilon=_BN_EPS, momentum=_BN_MOMENTUM, name=name)
 
-        self.enc_lin1 = TorchLinear(self.hidden_dim, dtype=self.dtype, name="enc_lin1")
-        self.enc_bn1 = bn("enc_bn1")
-        self.enc_lin2 = TorchLinear(self.hidden_dim, dtype=self.dtype, name="enc_lin2")
-        self.enc_bn2 = bn("enc_bn2")
-        self.enc_lin3 = TorchLinear(self.feature_dim, dtype=self.dtype, name="enc_lin3")
+        # encoder_x selection (latent_model.py:118-153). 'linear' is the live
+        # path and takes flat (B, data_dim) input; the conv archs take NHWC
+        # images (the reference only flattens for toy/simple/linear,
+        # classification_train_separately.py:933-934).
+        if self.arch == "linear":
+            self.enc_lin1 = TorchLinear(self.hidden_dim, dtype=self.dtype, name="enc_lin1")
+            self.enc_bn1 = bn("enc_bn1")
+            self.enc_lin2 = TorchLinear(self.hidden_dim, dtype=self.dtype, name="enc_lin2")
+            self.enc_bn2 = bn("enc_bn2")
+            self.enc_lin3 = TorchLinear(self.feature_dim, dtype=self.dtype, name="enc_lin3")
+        elif self.arch == "simple":
+            from ladine_tpu.models.encoders import SimpleEncoder
+
+            self.encoder_x = SimpleEncoder(out_dim=self.feature_dim, name="encoder_x")
+        elif self.arch == "lenet":
+            from ladine_tpu.models.encoders import LeNet
+
+            self.encoder_x = LeNet(num_classes=self.feature_dim, name="encoder_x")
+        elif self.arch == "lenet5":
+            from ladine_tpu.models.encoders import LeNet5
+
+            self.encoder_x = LeNet5(num_classes=self.feature_dim, name="encoder_x")
+        elif self.arch == "fashioncnn":
+            from ladine_tpu.models.encoders import FashionCNN
+
+            self.encoder_x = FashionCNN(out_dim=self.feature_dim, name="encoder_x")
+        elif self.arch in ("resnet18", "resnet50"):
+            from ladine_tpu.models.encoders import ResNetEncoder
+
+            self.encoder_x = ResNetEncoder(
+                feature_dim=self.feature_dim, arch=self.arch, name="encoder_x"
+            )
+        else:
+            raise ValueError(f"unknown encoder arch {self.arch!r}")
         self.norm = bn("norm")
         self.lin1 = ConditionalLinear(self.feature_dim, self.n_steps, dtype=self.dtype, name="lin1")
         self.unetnorm1 = bn("unetnorm1")
@@ -125,13 +155,16 @@ class ConditionalModel(nn.Module):
         computed once per image and reused across all members' trials and
         timesteps.
         """
-        h = self.enc_lin1(x)
-        h = self.enc_bn1(h, use_running_average=not train)
-        h = nn.softplus(h)
-        h = self.enc_lin2(h)
-        h = self.enc_bn2(h, use_running_average=not train)
-        h = nn.softplus(h)
-        h = self.enc_lin3(h)
+        if self.arch == "linear":
+            h = self.enc_lin1(x)
+            h = self.enc_bn1(h, use_running_average=not train)
+            h = nn.softplus(h)
+            h = self.enc_lin2(h)
+            h = self.enc_bn2(h, use_running_average=not train)
+            h = nn.softplus(h)
+            h = self.enc_lin3(h)
+        else:
+            h = self.encoder_x(x, train=train)
         return self.norm(h, use_running_average=not train)
 
     def eps(

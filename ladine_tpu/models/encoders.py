@@ -206,6 +206,47 @@ class ResNet(nn.Module):
         return TorchLinear(self.num_classes)(x)
 
 
+class TrajectoryClassifier(nn.Module):
+    """Equivalent of the reference's (dead) ``NewClassifier``
+    (latent_model.py:50-90): classify a diffusion *trajectory* — a sequence
+    of y states at ``timesteps/granularity`` selected time points — guided by
+    an image feature, via a small encoder-decoder transformer
+    (d_model 10, 2 heads, 4 layers) and an MLP head over the flattened
+    decoder outputs.
+    """
+
+    num_classes: int = 10
+    feature_dim: int = 151296
+    seq_len: int = 20  # timesteps / granularity
+    d_model: int = 10
+    num_heads: int = 2
+    num_layers: int = 4
+
+    @nn.compact
+    def __call__(self, trajectory: jnp.ndarray, x_feature: jnp.ndarray, train: bool = False):
+        """trajectory: (B, seq_len, d_model); x_feature: (B, ...) image feature."""
+        mem = nn.relu(TorchLinear(self.d_model)(x_feature.reshape(x_feature.shape[0], -1)))
+        mem = mem[:, None, :]  # (B, 1, d_model) memory sequence
+        h = trajectory
+        for i in range(self.num_layers):
+            # self-attention over the trajectory
+            a = nn.MultiHeadDotProductAttention(num_heads=self.num_heads, name=f"self{i}")(
+                nn.LayerNorm(name=f"ln_s{i}")(h)
+            )
+            h = h + a
+            # cross-attention to the image-feature memory
+            c = nn.MultiHeadDotProductAttention(num_heads=self.num_heads, name=f"cross{i}")(
+                nn.LayerNorm(name=f"ln_c{i}")(h), mem
+            )
+            h = h + c
+            f = TorchLinear(4 * self.d_model, name=f"ff1_{i}")(nn.LayerNorm(name=f"ln_f{i}")(h))
+            h = h + TorchLinear(self.d_model, name=f"ff2_{i}")(nn.relu(f))
+        h = h.reshape(h.shape[0], -1)
+        h = nn.relu(TorchLinear(128)(h))
+        h = nn.relu(TorchLinear(64)(h))
+        return TorchLinear(self.num_classes)(h)
+
+
 class ResNetEncoder(nn.Module):
     """ResNet backbone + linear projection to feature_dim
     (latent_model.py:276-301)."""

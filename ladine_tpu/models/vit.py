@@ -153,8 +153,10 @@ class ViT(nn.Module):
         h = self.patch_proj(x)
         return h.reshape(h.shape[0], -1, self.embed_dim)
 
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        """Full classification forward: (B, H, W, 3) -> (B, num_classes)."""
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        """Full classification forward: (B, H, W, 3) -> (B, num_classes).
+        ``train`` is accepted for trainer-signature uniformity (the ViT has
+        no train-mode-dependent layers: drop rates are 0 in the reference)."""
         h = self.patch_embed(x)
         cls = jnp.broadcast_to(
             jnp.asarray(self.cls_token, h.dtype), (h.shape[0], 1, self.embed_dim)

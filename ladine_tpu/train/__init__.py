@@ -1,5 +1,10 @@
 from ladine_tpu.train.ema import ema_init, ema_update
-from ladine_tpu.train.optim import make_optimizer, step_decay, warmup_cosine
+from ladine_tpu.train.optim import (
+    cosine_warm_restarts,
+    make_optimizer,
+    step_decay,
+    warmup_cosine,
+)
 from ladine_tpu.train.diffusion_trainer import (
     MemberTrainState,
     create_member_state,

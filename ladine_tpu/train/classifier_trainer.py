@@ -32,6 +32,7 @@ class TrainState(flax.struct.PyTreeNode):
     params: Any
     opt_state: Any
     step: jnp.ndarray
+    batch_stats: Any = None  # for BatchNorm backbones (ResNet)
 
 
 def cross_entropy(logits: jnp.ndarray, labels: jnp.ndarray) -> jnp.ndarray:
@@ -43,26 +44,43 @@ def cross_entropy(logits: jnp.ndarray, labels: jnp.ndarray) -> jnp.ndarray:
 
 
 def create_vit_state(
-    vit: ViT, key: jax.Array, tx: optax.GradientTransformation, image_size: int = 224
+    vit, key: jax.Array, tx: optax.GradientTransformation, image_size: int = 224
 ) -> TrainState:
+    """Works for any backbone with signature (x, train=False) — ViT (no BN)
+    or ResNet (BN -> batch_stats threaded through the state)."""
     x = jnp.zeros((1, image_size, image_size, 3))
-    params = vit.init(key, x)["params"]
-    return TrainState(params=params, opt_state=tx.init(params), step=jnp.asarray(0))
+    variables = vit.init(key, x)
+    params = variables["params"]
+    return TrainState(
+        params=params,
+        opt_state=tx.init(params),
+        step=jnp.asarray(0),
+        batch_stats=variables.get("batch_stats"),
+    )
 
 
-def make_vit_train_step(vit: ViT, tx: optax.GradientTransformation) -> Callable:
+def make_vit_train_step(vit, tx: optax.GradientTransformation) -> Callable:
     def step(state: TrainState, images, labels) -> Tuple[TrainState, jnp.ndarray, jnp.ndarray]:
-        def loss_fn(params):
-            logits = vit.apply({"params": params}, images)
-            return cross_entropy(logits, labels), logits
+        has_bn = state.batch_stats is not None
 
-        (loss, logits), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        def loss_fn(params):
+            if has_bn:
+                logits, mutated = vit.apply(
+                    {"params": params, "batch_stats": state.batch_stats},
+                    images, train=True, mutable=["batch_stats"],
+                )
+                return cross_entropy(logits, labels), (logits, mutated["batch_stats"])
+            logits = vit.apply({"params": params}, images, train=True)
+            return cross_entropy(logits, labels), (logits, None)
+
+        (loss, (logits, new_bs)), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
         return (
             state.replace(
                 params=optax.apply_updates(state.params, updates),
                 opt_state=new_opt,
                 step=state.step + 1,
+                batch_stats=new_bs if has_bn else None,
             ),
             loss,
             jnp.mean((jnp.argmax(logits, -1) == labels).astype(jnp.float32)),
@@ -71,9 +89,12 @@ def make_vit_train_step(vit: ViT, tx: optax.GradientTransformation) -> Callable:
     return step
 
 
-def make_vit_eval_step(vit: ViT) -> Callable:
-    def step(params, images, labels):
-        logits = vit.apply({"params": params}, images)
+def make_vit_eval_step(vit) -> Callable:
+    def step(params, images, labels, batch_stats=None):
+        variables = {"params": params}
+        if batch_stats is not None:
+            variables["batch_stats"] = batch_stats
+        logits = vit.apply(variables, images)
         return jnp.sum((jnp.argmax(logits, -1) == labels).astype(jnp.float32))
 
     return step

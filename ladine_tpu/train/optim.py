@@ -55,6 +55,36 @@ def step_decay(base_lr: float, step_size_epochs: int, gamma: float, steps_per_ep
     return schedule
 
 
+def cosine_warm_restarts(
+    base_lr: float,
+    first_cycle_epochs: int,
+    steps_per_epoch: int,
+    t_mult: int = 1,
+    eta_min: float = 0.0,
+):
+    """torch CosineAnnealingWarmRestarts equivalent (reference
+    get_optimizer_and_scheduler, utils.py:66-80 — factory present but unused
+    in the live path): cosine cycles of length T_0, T_0*t_mult, ..."""
+    import jax.numpy as jnp
+
+    def schedule(step):
+        epoch = step / steps_per_epoch
+        if t_mult == 1:
+            t_cur = jnp.mod(epoch, first_cycle_epochs)
+            t_i = first_cycle_epochs
+        else:
+            # cycle index n satisfies T_0 * (t_mult^n - 1)/(t_mult - 1) <= epoch
+            n = jnp.floor(
+                jnp.log(epoch / first_cycle_epochs * (t_mult - 1) + 1) / math.log(t_mult)
+            )
+            start = first_cycle_epochs * (t_mult**n - 1) / (t_mult - 1)
+            t_cur = epoch - start
+            t_i = first_cycle_epochs * t_mult**n
+        return eta_min + (base_lr - eta_min) * 0.5 * (1.0 + jnp.cos(math.pi * t_cur / t_i))
+
+    return schedule
+
+
 def make_optimizer(
     name: str = "Adam",
     lr: float | Callable = 1e-3,
