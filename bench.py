@@ -44,6 +44,7 @@ def main():
     ap.add_argument("--repeats", type=int, default=3)
     ap.add_argument("--pallas", action="store_true",
                     help="use the fully-fused Pallas eps kernel in the scan body")
+    ap.add_argument("--unroll", type=int, default=1, help="reverse-scan unroll factor")
     args = ap.parse_args()
 
     import jax
@@ -142,7 +143,8 @@ def main():
         xf = images.reshape(images.shape[0], -1)
         return nested_ensemble_sample(cond, stacked, xf, y0_hat, key, sched,
                                       mc_trials=K, tau=tau,
-                                      use_pallas_eps=args.pallas)
+                                      use_pallas_eps=args.pallas,
+                                      unroll=args.unroll)
 
     # compile + warmup
     t0 = time.time()

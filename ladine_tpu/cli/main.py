@@ -92,6 +92,7 @@ def main(argv=None) -> int:
     cfg = Config.from_yaml(args.config) if args.config else Config()
     if args.dataroot:
         cfg.data.dataroot = args.dataroot
+    cfg.data.preprocess = args.preprocess
     if args.timesteps:
         cfg.diffusion.timesteps = args.timesteps
     if args.n_epochs:

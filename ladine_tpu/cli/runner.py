@@ -102,12 +102,18 @@ class Runner:
     # ----------------------------------------------------------- data
 
     def _demo_batches(self, n_batches=3, batch=8, seed=0):
+        """Separable synthetic images (class-dependent brightness + noise) so
+        the demo pipeline can actually learn — the runnable counterpart of
+        the reference's --sanity_check smoke mode."""
         rng = np.random.default_rng(seed)
+        nc = self.config.data.num_classes
         for _ in range(n_batches):
-            yield (
-                rng.random((batch, self.img, self.img, 3)).astype(np.float32),
-                rng.integers(0, self.config.data.num_classes, batch),
+            labels = rng.integers(0, nc, batch)
+            images = (
+                rng.random((batch, self.img, self.img, 3)) * 0.2
+                + labels[:, None, None, None] * (0.6 / max(nc - 1, 1))
             )
+            yield images.astype(np.float32), labels
 
     def _data_batches(self, split: str, batch_size: int, drop_last: bool, shuffle=False, seed=0):
         c = self.config
@@ -118,7 +124,7 @@ class Runner:
         else:
             ds = load_split(
                 c.data.dataroot, name, split,
-                preprocess=getattr(c.data, "preprocess", "grayscaled"),
+                preprocess=c.data.preprocess,
                 image_size=(self.img, self.img),
             )
         return ds.batches(batch_size, shuffle=shuffle, drop_last=drop_last, seed=seed)
@@ -171,10 +177,15 @@ class Runner:
         c = self.config
         epochs = epochs if epochs is not None else c.training.n_epochs
         gvars = self.init_guidance(jax.random.PRNGKey(0), guidance_ckpt)
+        if self.demo and guidance_ckpt is None:
+            gvars = self._demo_pretrain_guidance(gvars)
 
         steps_per_epoch = max(1, sum(1 for _ in self.batches("train", c.training.batch_size)))
+        # the reference's warmup (40 epochs) assumes n_epochs=1000; clamp so
+        # short runs don't spend their whole budget at ~zero LR
+        warmup = min(c.training.warmup_epochs, max(1, epochs // 10))
         lr = (
-            warmup_cosine(c.optim.lr, c.training.warmup_epochs, epochs, steps_per_epoch, c.optim.min_lr)
+            warmup_cosine(c.optim.lr, warmup, epochs, steps_per_epoch, c.optim.min_lr)
             if c.optim.lr_schedule
             else c.optim.lr
         )
@@ -236,6 +247,62 @@ class Runner:
             self.batches("valid", c.sampling.batch_size), cfg, key,
         )
         return report["majority_vote_accuracy"]
+
+    def _demo_pretrain_guidance(self, gvars, steps: int = 60):
+        """Demo-mode stand-in for stage 1: briefly fit the ViT head + mapping
+        MLPs with CE on all K+1 heads so the diffusion stage gets an
+        informative guidance (the reference always trains stage 1 first)."""
+        import optax
+
+        tx = optax.adam(1e-3)
+        opt_state = tx.init(gvars["params"])
+
+        def loss_fn(params, images, labels):
+            heads = self.guidance.apply({"params": params}, images)  # (K+1, B, C)
+            logp = jax.nn.log_softmax(heads, axis=-1)
+            nll = -jnp.take_along_axis(logp, labels[None, :, None], axis=-1)
+            return jnp.mean(nll)
+
+        @jax.jit
+        def step(params, opt_state, images, labels):
+            loss, grads = jax.value_and_grad(loss_fn)(params, images, labels)
+            updates, opt_state = tx.update(grads, opt_state)
+            return optax.apply_updates(params, updates), opt_state, loss
+
+        params = gvars["params"]
+        i = 0
+        while i < steps:
+            for images, labels in self.batches("train", 8, shuffle=True, seed=i):
+                params, opt_state, loss = step(
+                    params, opt_state, jnp.asarray(images), jnp.asarray(labels)
+                )
+                i += 1
+                if i >= steps:
+                    break
+        self.logger.info(f"demo guidance pre-trained ({steps} steps, CE {float(loss):.4f})")
+        return {**gvars, "params": params}
+
+    def evaluate_guidance(self, gvars, split: str = "valid") -> float:
+        """Guidance-model accuracy by majority vote over the K+1 heads
+        (reference evaluate_guidance_model,
+        classification_train_separately.py:352-377)."""
+        c = self.config
+
+        @jax.jit
+        def heads_fn(images):
+            return self.guidance.apply(gvars, images)
+
+        correct = total = 0
+        for images, labels in self.batches(split, c.testing.batch_size):
+            heads = np.asarray(heads_fn(jnp.asarray(images)))  # (K+1, B, C)
+            votes = heads.argmax(-1)  # (K+1, B)
+            counts = (votes[..., None] == np.arange(c.data.num_classes)).sum(0)
+            mv = counts.argmax(-1)
+            correct += int((mv == np.asarray(labels)).sum())
+            total += len(labels)
+        acc = 100.0 * correct / max(total, 1)
+        self.logger.info(f"guidance majority-vote accuracy ({split}): {acc:.2f}%")
+        return acc
 
     # ------------------------------------------------------------- test
 

@@ -23,6 +23,7 @@ class DataConfig:
     num_classes: int = 2
     num_workers: int = 4
     dataroot: str = "PATH"
+    preprocess: str = "grayscaled"  # grayscaled | standardized (CLI --preprocess)
 
 
 @dataclass

@@ -50,6 +50,7 @@ def member_mc_sample(
     tau: Optional[jnp.ndarray] = None,
     eta: float = 0.0,
     use_pallas_eps: bool = False,
+    unroll: int = 1,
 ) -> jnp.ndarray:
     """MC samples from ONE member's reverse chain: (mc_trials, B, y_dim).
 
@@ -57,7 +58,9 @@ def member_mc_sample(
     the timestep scan (the reference recomputes them 1000x per trial).
     y_T_mean == y0_hat, matching classification_train_separately.py:772-777.
     ``use_pallas_eps`` swaps the scan body for the fully-fused Pallas kernel
-    path (kernels/fused_eps.py).
+    path (kernels/fused_eps.py). Measured on v5e at full LaDiNE shapes the
+    XLA path sustains ~72% bf16 peak and the Pallas path is ~4x slower
+    (vmap over members fragments the kernel grid), so the default is off.
     """
     f = model.apply(member_vars, x_flat, method="encode")
 
@@ -74,7 +77,7 @@ def member_mc_sample(
 
     def one_trial(k):
         if tau is None:
-            return p_sample_loop(eps_fn, y0_hat, sched, k)
+            return p_sample_loop(eps_fn, y0_hat, sched, k, unroll=unroll)
         return ddim_sample_loop(eps_fn, y0_hat, sched, k, tau, eta)
 
     return jax.vmap(one_trial)(jax.random.split(key, mc_trials))
@@ -91,6 +94,7 @@ def nested_ensemble_sample(
     tau: Optional[jnp.ndarray] = None,
     eta: float = 0.0,
     use_pallas_eps: bool = False,
+    unroll: int = 1,
 ) -> jnp.ndarray:
     """Draw all members' MC samples in one shot: (M, mc_trials, B, y_dim).
 
@@ -114,6 +118,7 @@ def nested_ensemble_sample(
         tau=tau,
         eta=eta,
         use_pallas_eps=use_pallas_eps,
+        unroll=unroll,
     )
     return jax.vmap(lambda v, yh, k: fn(v, x_flat, yh, k))(
         stacked_vars, y0_hat_members, member_keys

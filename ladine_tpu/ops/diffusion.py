@@ -137,6 +137,7 @@ def p_sample_loop(
     sched: DiffusionSchedule,
     key: jax.Array,
     return_trajectory: bool = False,
+    unroll: int = 1,
 ):
     """Full ancestral reverse chain as a single ``lax.scan``.
 
@@ -164,7 +165,7 @@ def p_sample_loop(
         y_next = p_sample_step(y, eps, y_T_mean, coeffs, z_t)
         return y_next, (y if return_trajectory else None)
 
-    y_1, traj = jax.lax.scan(body, y_T, (ts, step_keys))
+    y_1, traj = jax.lax.scan(body, y_T, (ts, step_keys), unroll=unroll)
     eps_0 = eps_fn(y_1, jnp.asarray(0, jnp.int32))
     y_0 = p_sample_final(y_1, eps_0, y_T_mean, sched)
     if return_trajectory:
