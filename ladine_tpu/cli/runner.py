@@ -192,16 +192,35 @@ class Runner:
         tx = make_optimizer(c.optim.optimizer, lr, c.optim.weight_decay,
                             c.optim.beta1, c.optim.eps, c.optim.grad_clip)
         states = create_member_states(self.cond, key, tx, c.diffusion.num_members)
+        mesh = self._maybe_mesh(c.training.batch_size)
         start_epoch = 0
         if resume_from:
             tree, meta = load_checkpoint(resume_from, target={"states": states, "guidance": gvars})
             states, gvars = tree["states"], tree["guidance"]
             start_epoch = int(meta.get("epoch", -1)) + 1
             self.logger.info(f"resumed from {resume_from} at epoch {start_epoch}")
-        step_fn = jax.jit(make_full_train_step(
+        raw_step = make_full_train_step(
             self.guidance, gvars, self.cond, tx, self.sched,
             c.diffusion.num_members, c.data.num_classes, c.model.ema_rate,
-        ))
+        )
+        if mesh is not None:
+            from ladine_tpu.parallel import (
+                data_sharding, member_sharding, replicated, shard_pytree, tree_shardings,
+            )
+
+            st_shard = tree_shardings(states, member_sharding(mesh))
+            step_fn = jax.jit(
+                raw_step,
+                in_shardings=(st_shard, data_sharding(mesh), data_sharding(mesh),
+                              replicated(mesh)),
+                out_shardings=(st_shard, member_sharding(mesh)),
+            )
+            states = shard_pytree(states, member_sharding(mesh))
+            self.logger.info(
+                f"training on mesh {dict(zip(mesh.axis_names, mesh.devices.shape))}"
+            )
+        else:
+            step_fn = jax.jit(raw_step)
 
         best_acc = -1.0
         global_step = 0
@@ -247,6 +266,30 @@ class Runner:
             self.batches("valid", c.sampling.batch_size), cfg, key,
         )
         return report["majority_vote_accuracy"]
+
+    def _maybe_mesh(self, batch_size: int):
+        """('member', 'data') mesh over all visible devices when >1 — the
+        data-parallel training path (SURVEY C23 TPU equivalent). Falls back
+        to single-device jit when the batch doesn't tile the data axis."""
+        devices = jax.devices()
+        if len(devices) <= 1:
+            return None
+        from ladine_tpu.parallel import factor_mesh, make_mesh
+
+        members = self.config.diffusion.num_members
+        # largest device count whose data axis tiles the batch
+        for n in range(len(devices), 1, -1):
+            m_dim, d_dim = factor_mesh(n, members)
+            if batch_size % d_dim == 0:
+                mesh = make_mesh(n, num_members=members)
+                self.logger.info(
+                    f"mesh: {n} devices as (member={m_dim}, data={d_dim})"
+                )
+                return mesh
+        self.logger.warning(
+            f"no device count <= {len(devices)} tiles batch {batch_size}; single-device"
+        )
+        return None
 
     def _demo_pretrain_guidance(self, gvars, steps: int = 60):
         """Demo-mode stand-in for stage 1: briefly fit the ViT head + mapping
