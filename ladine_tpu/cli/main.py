@@ -51,6 +51,8 @@ def build_parser() -> argparse.ArgumentParser:
     # diffusion overrides
     p.add_argument("--timesteps", type=int, default=None)
     p.add_argument("--ddim", type=int, default=0, help="strided sampler steps (0 = full chain)")
+    p.add_argument("--eta", type=float, default=0.0,
+                   help="strided-sampler stochasticity (reference DDIM-heritage flag)")
     p.add_argument("--n_epochs", type=int, default=None)
     # corruptions (test.sh env-var surface)
     p.add_argument("--noise_perturbation", type=float, default=0.0)
@@ -127,6 +129,7 @@ def main(argv=None) -> int:
         attack_name=args.attack_name,
         attack_eps=args.epsilon,
         ddim_steps=cfg.diffusion.ddim_steps,
+        ddim_eta=args.eta,
     )
 
     if args.train:
@@ -145,7 +148,10 @@ def main(argv=None) -> int:
         else:
             report = runner.calibrate(key, stacked, gvars, eval_cfg)
         printable = {k: v for k, v in report.items() if k not in ("samples", "labels")}
-        print(json.dumps({"mode": "test" if args.test else "calib", **printable}))
+        result = {"mode": "test" if args.test else "calib", **printable}
+        with open(os.path.join(log_dir, "report.json"), "w") as f:
+            json.dump(result, f, indent=2)
+        print(json.dumps(result))
         return 0
 
     print("nothing to do: pass --train, --test or --calib (add --demo for a smoke run)",

@@ -354,7 +354,7 @@ class Runner:
         report = evaluate_ensemble(
             self.guidance, gvars, self.cond, stacked_vars, self.sched,
             self.batches("test", c.testing.batch_size, drop_last=c.testing.drop_last),
-            eval_cfg, key,
+            eval_cfg, key, mesh=self._maybe_mesh(c.testing.batch_size),
         )
         self.logger.info(
             f"test: mv-acc {report['majority_vote_accuracy']:.2f}% "

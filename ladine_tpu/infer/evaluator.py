@@ -58,7 +58,9 @@ class EvalConfig:
     attack_name: Optional[str] = None
     attack_eps: float = 0.03
     ddim_steps: int = 0  # 0 = full ancestral chain (reference behavior)
+    ddim_eta: float = 0.0  # stochasticity of the strided sampler
     selected_members: Optional[Tuple[int, ...]] = None  # None = all stacked members
+    unroll: int = 1  # reverse-scan unroll factor
 
 
 def make_eval_pipeline(
@@ -67,9 +69,14 @@ def make_eval_pipeline(
     model: ConditionalModel,
     sched: DiffusionSchedule,
     cfg: EvalConfig,
+    mesh=None,
 ):
     """One jitted function: (stacked_vars, images, labels, key) -> samples
-    (M, K, B, C) raw diffusion outputs."""
+    (M, K, B, C) raw diffusion outputs.
+
+    With ``mesh`` (axes ('member','data')) the member axis of the stacked
+    variables and the batch axis of the images are sharded; GSPMD inserts
+    the collectives."""
     num_members = guidance.num_members
     tau = ddim_timesteps(sched.num_timesteps, cfg.ddim_steps) if cfg.ddim_steps else None
     attack = (
@@ -92,7 +99,6 @@ def make_eval_pipeline(
         crop=cfg.crop,
     )
 
-    @jax.jit
     def pipeline(stacked_vars, images, labels, key):
         k_corrupt, k_attack, k_sample = jax.random.split(key, 3)
         images = corrupt(images, k_corrupt)
@@ -107,10 +113,29 @@ def make_eval_pipeline(
         x_flat = images.reshape(images.shape[0], -1)
         return nested_ensemble_sample(
             model, stacked_vars, x_flat, y0_hat, k_sample, sched,
-            mc_trials=cfg.mc_trials, tau=tau,
+            mc_trials=cfg.mc_trials, tau=tau, eta=cfg.ddim_eta, unroll=cfg.unroll,
         )
 
-    return pipeline
+    if mesh is None:
+        return jax.jit(pipeline)
+
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    member = NamedSharding(mesh, P("member"))
+    data = NamedSharding(mesh, P("data"))
+    rep = NamedSharding(mesh, P())
+    out = NamedSharding(mesh, P("member", None, "data"))
+
+    def jitted(stacked_vars, images, labels, key):
+        vars_shard = jax.tree.map(lambda _: member, stacked_vars)
+        fn = jax.jit(
+            pipeline,
+            in_shardings=(vars_shard, data, data, rep),
+            out_shardings=out,
+        )
+        return fn(stacked_vars, images, labels, key)
+
+    return jitted
 
 
 def evaluate_ensemble(
@@ -122,10 +147,11 @@ def evaluate_ensemble(
     batches: Iterable[Tuple[np.ndarray, np.ndarray]],
     cfg: EvalConfig,
     key: jax.Array,
+    mesh=None,
 ) -> Dict[str, Any]:
     """Run the full robust-evaluation loop; returns the metric report plus
     the raw cached samples (num_samples, N, C) for calibration."""
-    pipeline = make_eval_pipeline(guidance, guidance_vars, model, sched, cfg)
+    pipeline = make_eval_pipeline(guidance, guidance_vars, model, sched, cfg, mesh=mesh)
 
     all_samples = []
     all_labels = []
