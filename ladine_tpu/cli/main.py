@@ -48,6 +48,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--diffusion_ckpt", type=str, nargs="*", default=None)
     p.add_argument("--resume_training", type=str, default=None,
                    help="checkpoint dir to resume training from")
+    p.add_argument("--pretrain_guidance", type=int, default=0,
+                   help="CE-pretrain the guidance heads for N steps before "
+                        "diffusion training (reference aux_cls.pre_train path)")
+    p.add_argument("--eval_guidance", action="store_true",
+                   help="report guidance majority-vote accuracy and exit")
     # diffusion overrides
     p.add_argument("--timesteps", type=int, default=None)
     p.add_argument("--ddim", type=int, default=0, help="strided sampler steps (0 = full chain)")
@@ -62,6 +67,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--covered", type=float, nargs=2, default=[0.0, 0],
                    metavar=("K", "N"))
     p.add_argument("--crop", type=float, default=0.0)
+    p.add_argument("--sweep", type=str, default=None,
+                   metavar="PARAM=V1,V2,...",
+                   help="with --test: sweep one corruption severity, e.g. "
+                        "noise=0,0.1,0.2 | lowres=1,2,4 | brightness=... | "
+                        "contrast=... | crop=...")
     # attacks
     p.add_argument("--attack_name", type=str, default=None,
                    choices=["FGSM", "PGD", "BIM", "L2PGD", "CW", "AUTOPGD"])
@@ -132,10 +142,19 @@ def main(argv=None) -> int:
         ddim_eta=args.eta,
     )
 
+    if args.eval_guidance:
+        gvars = runner.init_guidance(jax.random.PRNGKey(0), args.guidance_ckpt)
+        if args.demo and args.guidance_ckpt is None:
+            gvars = runner.pretrain_guidance(gvars)
+        acc = runner.evaluate_guidance(gvars)
+        print(json.dumps({"mode": "eval_guidance", "majority_vote_accuracy": acc}))
+        return 0
+
     if args.train:
         result = runner.train(key, guidance_ckpt=args.guidance_ckpt,
                               epochs=cfg.training.n_epochs,
-                              resume_from=args.resume_training)
+                              resume_from=args.resume_training,
+                              pretrain_guidance_steps=args.pretrain_guidance)
         print(json.dumps({"mode": "train", "best_accuracy": result["best_accuracy"],
                           "steps": result["steps"]}))
         return 0
@@ -143,6 +162,32 @@ def main(argv=None) -> int:
     if args.test or args.calib:
         gvars = runner.init_guidance(jax.random.PRNGKey(0), args.guidance_ckpt)
         stacked = runner.init_members(jax.random.PRNGKey(1), args.diffusion_ckpt)
+        if args.test and args.sweep:
+            param, _, values = args.sweep.partition("=")
+            field_map = {"noise": "noise_std", "lowres": "low_resolution",
+                         "brightness": "brightness", "contrast": "contrast",
+                         "crop": "crop"}
+            if param not in field_map:
+                print(f"unknown sweep param {param!r}; one of {sorted(field_map)}",
+                      file=sys.stderr)
+                return 2
+            caster = int if param == "lowres" else float
+            rows = []
+            import dataclasses as _dc
+
+            for v in [caster(x) for x in values.split(",")]:
+                cfg_v = _dc.replace(eval_cfg, **{field_map[param]: v})
+                rep = runner.test(key, stacked, gvars, cfg_v)
+                rows.append({param: v,
+                             "accuracy": rep["mean_confidence_accuracy"],
+                             "mv_accuracy": rep["majority_vote_accuracy"],
+                             "ece": rep["ece"], "nll": rep["nll"],
+                             "brier": rep["brier"]})
+            result = {"mode": "sweep", "param": param, "rows": rows}
+            with open(os.path.join(log_dir, "report.json"), "w") as f:
+                json.dump(result, f, indent=2)
+            print(json.dumps(result))
+            return 0
         if args.test:
             report = runner.test(key, stacked, gvars, eval_cfg)
         else:

@@ -168,7 +168,8 @@ class Runner:
 
     def train(self, key: jax.Array, guidance_ckpt: Optional[str] = None,
               epochs: Optional[int] = None,
-              resume_from: Optional[str] = None) -> Dict[str, Any]:
+              resume_from: Optional[str] = None,
+              pretrain_guidance_steps: int = 0) -> Dict[str, Any]:
         """Train ALL diffusion members concurrently (reference: one member
         per process invocation, train.sh). ``resume_from`` restores states +
         guidance + epoch from a checkpoint (the reference's --resume_training
@@ -177,8 +178,11 @@ class Runner:
         c = self.config
         epochs = epochs if epochs is not None else c.training.n_epochs
         gvars = self.init_guidance(jax.random.PRNGKey(0), guidance_ckpt)
-        if self.demo and guidance_ckpt is None:
-            gvars = self._demo_pretrain_guidance(gvars)
+        if pretrain_guidance_steps:
+            gvars = self.pretrain_guidance(gvars, steps=pretrain_guidance_steps,
+                                           batch_size=c.training.batch_size)
+        elif self.demo and guidance_ckpt is None:
+            gvars = self.pretrain_guidance(gvars)
 
         steps_per_epoch = max(1, sum(1 for _ in self.batches("train", c.training.batch_size)))
         # the reference's warmup (40 epochs) assumes n_epochs=1000; clamp so
@@ -291,10 +295,12 @@ class Runner:
         )
         return None
 
-    def _demo_pretrain_guidance(self, gvars, steps: int = 60):
-        """Demo-mode stand-in for stage 1: briefly fit the ViT head + mapping
-        MLPs with CE on all K+1 heads so the diffusion stage gets an
-        informative guidance (the reference always trains stage 1 first)."""
+    def pretrain_guidance(self, gvars, steps: int = 60, batch_size: int = 8):
+        """Fit the ViT + mapping MLPs with CE on all K+1 heads — the
+        reference's aux-classifier pre-train path (aux_cls.pre_train /
+        n_pretrain_epochs, configs/chest_x_ray.yml:37-39, live-disabled
+        there; stage 1 normally does this in separate scripts). Used as the
+        demo's stage-1 stand-in and available via --pretrain_guidance."""
         import optax
 
         tx = optax.adam(1e-3)
@@ -315,7 +321,7 @@ class Runner:
         params = gvars["params"]
         i = 0
         while i < steps:
-            for images, labels in self.batches("train", 8, shuffle=True, seed=i):
+            for images, labels in self.batches("train", batch_size, shuffle=True, seed=i):
                 params, opt_state, loss = step(
                     params, opt_state, jnp.asarray(images), jnp.asarray(labels)
                 )
