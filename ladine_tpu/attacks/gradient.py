@@ -24,7 +24,6 @@ steps=40, random_start=True) -> abs_stepsize = eps * 0.0333; LinfBIM
 
 from __future__ import annotations
 
-import functools
 from typing import Callable, Tuple
 
 import jax

@@ -10,7 +10,6 @@ the host batch loop, and nothing numerical.
 
 from __future__ import annotations
 
-import dataclasses
 import os
 import time
 from typing import Any, Dict, Iterable, Optional, Tuple

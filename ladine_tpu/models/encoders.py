@@ -17,7 +17,7 @@ All take NHWC float images and return (B, out_dim) features/logits:
 
 from __future__ import annotations
 
-from typing import Optional, Sequence, Tuple
+from typing import Sequence, Tuple
 
 import flax.linen as nn
 import jax.numpy as jnp

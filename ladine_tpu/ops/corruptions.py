@@ -13,7 +13,6 @@ torch/python RNG state).
 
 from __future__ import annotations
 
-import functools
 from typing import Tuple
 
 import jax

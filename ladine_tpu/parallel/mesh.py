@@ -22,7 +22,6 @@ partitioning (SURVEY.md C23).
 
 from __future__ import annotations
 
-import math
 from typing import Any, Optional, Sequence, Tuple
 
 import jax

@@ -20,7 +20,6 @@ over the GLOBAL batch automatically (jnp.mean over a sharded axis).
 
 from __future__ import annotations
 
-import functools
 from typing import Any, Callable, Optional, Tuple
 
 import flax.struct
