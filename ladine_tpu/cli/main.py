@@ -82,6 +82,9 @@ def build_parser() -> argparse.ArgumentParser:
     # TPU
     p.add_argument("--bf16", action="store_true")
     p.add_argument("--pallas", action="store_true")
+    p.add_argument("--fsdp", action="store_true",
+                   help="shard params/optimizer state/EMA over the data axis "
+                        "(full-size all-member training state exceeds one chip)")
     p.add_argument("--cpu", action="store_true")
     # reference-compat no-ops
     p.add_argument("--low_mem_mode", action="store_true",
@@ -115,6 +118,8 @@ def main(argv=None) -> int:
         cfg.model.dtype = "bfloat16"
     if args.pallas:
         cfg.model.use_pallas = True
+    if args.fsdp:
+        cfg.model.fsdp = True
     if args.mc_trials:
         cfg.testing.mc_trials = args.mc_trials
     cfg.data.seed = args.seed

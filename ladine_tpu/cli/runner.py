@@ -208,17 +208,25 @@ class Runner:
         )
         if mesh is not None:
             from ladine_tpu.parallel import (
-                data_sharding, member_sharding, replicated, shard_pytree, tree_shardings,
+                data_sharding, fsdp_shardings, member_sharding, replicated,
+                shard_pytree, tree_shardings,
             )
 
-            st_shard = tree_shardings(states, member_sharding(mesh))
+            if c.model.fsdp:
+                st_shard = fsdp_shardings(states, mesh)
+            else:
+                st_shard = tree_shardings(states, member_sharding(mesh))
             step_fn = jax.jit(
                 raw_step,
                 in_shardings=(st_shard, data_sharding(mesh), data_sharding(mesh),
                               replicated(mesh)),
                 out_shardings=(st_shard, member_sharding(mesh)),
             )
-            states = shard_pytree(states, member_sharding(mesh))
+            states = (
+                jax.tree.map(jax.device_put, states, st_shard)
+                if c.model.fsdp
+                else shard_pytree(states, member_sharding(mesh))
+            )
             self.logger.info(
                 f"training on mesh {dict(zip(mesh.axis_names, mesh.devices.shape))}"
             )

@@ -38,6 +38,7 @@ class ModelConfig:
     # TPU additions
     dtype: str = "float32"  # or "bfloat16"
     use_pallas: bool = False
+    fsdp: bool = False  # shard params/opt-state/EMA over the data axis too
 
 
 @dataclass

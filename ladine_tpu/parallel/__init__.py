@@ -3,6 +3,7 @@ from ladine_tpu.parallel.mesh import (
     MEMBER_AXIS,
     data_sharding,
     factor_mesh,
+    fsdp_shardings,
     make_mesh,
     member_data_sharding,
     member_sharding,
