@@ -12,7 +12,7 @@ Layout:
     ops/       pure-function diffusion math, schedules, image corruptions
     models/    Flax modules: ViT-B/16 with taps, mapping MLPs, ConditionalModel
     kernels/   Pallas TPU kernels for the hot fused ops
-    parallel/  mesh construction + sharding specs
+    parallel/  mesh construction + sharding specs (member/data, FSDP)
     data/      ImageFolder pipeline, dataset constants, synthetic generators
     attacks/   white-box adversarial attacks via jax.grad (FGSM/PGD/BIM/CW/APGD)
     train/     optax training loops (ViT, mapping MLPs, diffusion members), EMA
@@ -23,3 +23,31 @@ Layout:
 """
 
 __version__ = "0.1.0"
+
+# convenience top-level API (heavier submodules import lazily via these)
+from ladine_tpu.config import Config  # noqa: E402,F401
+
+
+def __getattr__(name):
+    """Lazy top-level access: ladine_tpu.ConditionalModel etc. without paying
+    import cost for unused subsystems."""
+    lookup = {
+        "ConditionalModel": "ladine_tpu.models",
+        "MappingMLP": "ladine_tpu.models",
+        "ViT": "ladine_tpu.models",
+        "SEViTGuidance": "ladine_tpu.models",
+        "DiffusionSchedule": "ladine_tpu.ops",
+        "p_sample_loop": "ladine_tpu.ops",
+        "ddim_sample_loop": "ladine_tpu.ops",
+        "nested_ensemble_sample": "ladine_tpu.infer",
+        "stack_members": "ladine_tpu.infer",
+        "EvalConfig": "ladine_tpu.infer",
+        "evaluate_ensemble": "ladine_tpu.infer",
+        "temperature_search": "ladine_tpu.infer",
+        "make_mesh": "ladine_tpu.parallel",
+    }
+    if name in lookup:
+        import importlib
+
+        return getattr(importlib.import_module(lookup[name]), name)
+    raise AttributeError(f"module 'ladine_tpu' has no attribute {name!r}")

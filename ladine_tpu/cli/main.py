@@ -95,6 +95,20 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
+def _json_sanitize(obj):
+    """NaN -> None so report.json stays strict-JSON parseable (empty
+    PIW/variance groups are NaN by design)."""
+    import math
+
+    if isinstance(obj, float) and math.isnan(obj):
+        return None
+    if isinstance(obj, dict):
+        return {k: _json_sanitize(v) for k, v in obj.items()}
+    if isinstance(obj, list):
+        return [_json_sanitize(v) for v in obj]
+    return obj
+
+
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
     if args.cpu:
@@ -198,7 +212,7 @@ def main(argv=None) -> int:
         else:
             report = runner.calibrate(key, stacked, gvars, eval_cfg)
         printable = {k: v for k, v in report.items() if k not in ("samples", "labels")}
-        result = {"mode": "test" if args.test else "calib", **printable}
+        result = _json_sanitize({"mode": "test" if args.test else "calib", **printable})
         with open(os.path.join(log_dir, "report.json"), "w") as f:
             json.dump(result, f, indent=2)
         print(json.dumps(result))

@@ -61,9 +61,11 @@ class Runner:
             self.feat = self.hidden = 16
             self.mlp_dims = (16, 8, 8)
         else:
-            self.img, self.patch, self.embed, self.heads_n, self.depth = 224, 16, 768, 12, 12
-            self.feat, self.hidden = c.model.feature_dim, c.model.hidden_dim
-            self.mlp_dims = (4096, 2048, 128)
+            m = c.model
+            self.img, self.patch, self.embed = m.image_size, m.patch_size, m.embed_dim
+            self.heads_n, self.depth = m.num_heads, m.vit_depth
+            self.feat, self.hidden = m.feature_dim, m.hidden_dim
+            self.mlp_dims = tuple(m.mlp_hidden_dims)
 
         dtype = jnp.bfloat16 if c.model.dtype == "bfloat16" else None
         self.guidance = SEViTGuidance(
@@ -385,7 +387,7 @@ class Runner:
         report = evaluate_ensemble(
             self.guidance, gvars, self.cond, stacked_vars, self.sched,
             self.batches("valid", c.testing.batch_size, drop_last=c.testing.drop_last),
-            eval_cfg, key,
+            eval_cfg, key, mesh=self._maybe_mesh(c.testing.batch_size),
         )
         t_best, ece_best = temperature_search(report["samples"], report["labels"])
         self.logger.info(f"calibrated temperature {t_best:.4f} (ece {ece_best:.4f})")

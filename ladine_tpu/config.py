@@ -32,6 +32,13 @@ class ModelConfig:
     feature_dim: int = 4096
     hidden_dim: int = 4096
     arch: str = "linear"
+    # backbone geometry (reference: timm ViT-B/16 fixed; configurable here)
+    image_size: int = 224
+    patch_size: int = 16
+    embed_dim: int = 768
+    vit_depth: int = 12
+    num_heads: int = 12
+    mlp_hidden_dims: Tuple[int, ...] = (4096, 2048, 128)
     var_type: str = "fixedlarge"
     ema_rate: float = 0.9999
     ema: bool = True

@@ -29,7 +29,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _kernel(x_ref, w_ref, a_ref, c_ref, o_ref, acc_ref, *, n_k: int, has_mult: bool):
+def _kernel(x_ref, w_ref, a_ref, c_ref, o_ref, acc_ref, *, n_k: int):
     @pl.when(pl.program_id(2) == 0)
     def _init():
         acc_ref[...] = jnp.zeros_like(acc_ref)
@@ -113,7 +113,7 @@ def fused_linear_act(
         args.append(mp)
         kernel = functools.partial(_kernel_mult, n_k=n_k)
     else:
-        kernel = functools.partial(_kernel, n_k=n_k, has_mult=False)
+        kernel = functools.partial(_kernel, n_k=n_k)
 
     out = pl.pallas_call(
         kernel,

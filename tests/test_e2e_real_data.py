@@ -1,0 +1,81 @@
+"""End-to-end integration over a real on-disk ImageFolder tree through the
+non-demo CLI path: stage-1 pretrain -> diffusion training -> checkpoint ->
+robust evaluation -> calibration. Class-separable PNGs so accuracy is
+meaningful."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="module")
+def dataset_root(tmp_path_factory):
+    from PIL import Image
+
+    root = tmp_path_factory.mktemp("e2e_ds")
+    rng = np.random.default_rng(0)
+    counts = {"training": 12, "validation": 6, "testing": 6}
+    for split, n in counts.items():
+        for cls_idx, cls in enumerate(["NORMAL", "TUBERCULOSIS"]):
+            d = root / split / cls
+            d.mkdir(parents=True)
+            for i in range(n):
+                base = rng.integers(0, 40, size=(16, 16, 3)) + cls_idx * 140
+                Image.fromarray(base.astype(np.uint8)).save(d / f"i{i}.png")
+    return str(root)
+
+
+@pytest.fixture(scope="module")
+def small_config(tmp_path_factory, dataset_root):
+    import yaml
+
+    cfg = {
+        "data": {"dataset": "ChestXRay", "dataroot": dataset_root, "num_classes": 2,
+                 "preprocess": "grayscaled"},
+        "model": {"image_size": 16, "patch_size": 8, "embed_dim": 16, "vit_depth": 5,
+                  "num_heads": 2, "mlp_hidden_dims": [16, 8, 8],
+                  "feature_dim": 16, "hidden_dim": 16, "data_dim": 16 * 16 * 3},
+        "diffusion": {"timesteps": 10, "num_members": 5},
+        "training": {"batch_size": 8, "n_epochs": 8, "warmup_epochs": 1,
+                     "validation_freq": 4, "logging_freq": 1000},
+        "testing": {"batch_size": 6, "mc_trials": 2, "drop_last": False},
+        "sampling": {"batch_size": 6},
+    }
+    p = tmp_path_factory.mktemp("cfg") / "small.yml"
+    p.write_text(yaml.safe_dump(cfg))
+    return str(p)
+
+
+def test_real_data_train_test_calibrate(small_config, tmp_path):
+    from ladine_tpu.cli.main import main
+
+    exp = str(tmp_path / "exp")
+    rc = main([
+        "--train", "--config", small_config, "--cpu", "--exp", exp, "--doc", "e2e",
+        "--pretrain_guidance", "40", "--seed", "1",
+    ])
+    assert rc == 0
+    # a best checkpoint landed
+    log_dir = os.path.join(exp, "logs", "e2e")
+    ckpts = [d for d in os.listdir(log_dir) if d.startswith("diffu_all")]
+    assert ckpts, os.listdir(log_dir)
+
+    rc = main([
+        "--test", "--config", small_config, "--cpu", "--exp", exp, "--doc", "e2e_test",
+        "--mc_trials", "2", "--ddim", "5",
+    ])
+    assert rc == 0
+    report = json.load(open(os.path.join(exp, "logs", "e2e_test", "report.json")))
+    assert report["num_instances"] == 12
+    assert report["num_samples"] == 10  # 5 members x 2 trials
+    assert 0 <= report["ece"] <= 1
+
+    rc = main([
+        "--calib", "--config", small_config, "--cpu", "--exp", exp, "--doc", "e2e_calib",
+        "--mc_trials", "2", "--ddim", "5",
+    ])
+    assert rc == 0
+    calib = json.load(open(os.path.join(exp, "logs", "e2e_calib", "report.json")))
+    assert calib["calibrated_temperature"] > 0
