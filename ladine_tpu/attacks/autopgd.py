@@ -81,6 +81,7 @@ def apgd_ce(
     carry = dict(
         x_k=x1,
         x_prev=x0,
+        f_k=f1,
         x_best=x_best,
         f_best=f_best,
         f_best_last_ckpt=f_best,
@@ -101,12 +102,14 @@ def apgd_ce(
         better = f_new > carry["f_best"]
         x_best = jnp.where(better[:, None, None, None], x_new, carry["x_best"])
         f_best = jnp.maximum(f_new, carry["f_best"])
-        improved = carry["improved"] + better.astype(jnp.float32)
+        # Croce & Hein count steps where f(x^{k+1}) > f(x^k) — the PREVIOUS
+        # iterate, not the all-time best
+        improved = carry["improved"] + (f_new > carry["f_k"]).astype(jnp.float32)
 
         is_ckpt = flags[k]
 
         def at_ckpt(args):
-            x_k, x_prev, x_best, f_best, f_last, eta, reduced, improved = args
+            x_k, x_prev, f_k, x_best, f_best, f_last, eta, reduced, improved = args
             interval = jnp.maximum(interval_at[k], 1.0)
             cond1 = improved < rho * interval
             cond2 = (~reduced) & (f_last >= f_best)
@@ -115,18 +118,20 @@ def apgd_ce(
             # on halving, restart from the best point
             x_k = jnp.where(halve[:, None, None, None], x_best, x_k)
             x_prev = jnp.where(halve[:, None, None, None], x_best, x_prev)
-            return x_k, x_prev, x_best, f_best, f_best, eta, halve, jnp.zeros_like(improved)
+            f_k = jnp.where(halve, f_best, f_k)
+            return x_k, x_prev, f_k, x_best, f_best, f_best, eta, halve, jnp.zeros_like(improved)
 
         def not_ckpt(args):
             return args
 
-        x_k, x_prev, x_best, f_best, f_last, eta, reduced, improved = jax.lax.cond(
+        x_k, x_prev, f_k, x_best, f_best, f_last, eta, reduced, improved = jax.lax.cond(
             is_ckpt,
             at_ckpt,
             not_ckpt,
             (
                 x_new,
                 carry["x_k"],
+                f_new,
                 x_best,
                 f_best,
                 carry["f_best_last_ckpt"],
@@ -138,6 +143,7 @@ def apgd_ce(
         return dict(
             x_k=x_k,
             x_prev=x_prev,
+            f_k=f_k,
             x_best=x_best,
             f_best=f_best,
             f_best_last_ckpt=f_last,

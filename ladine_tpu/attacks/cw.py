@@ -58,9 +58,10 @@ def cw_l2(
         m0 = jnp.zeros_like(w0)
         v0 = jnp.zeros_like(w0)
         b1, b2, eps = 0.9, 0.999, 1e-8
+        fooled0 = jnp.zeros((b,), bool)
 
         def body(i, carry):
-            w, m, v, best_adv, best_l2 = carry
+            w, m, v, best_adv, best_l2, fooled_round = carry
             g = grad_fn(w, c)
             m = b1 * m + (1 - b1) * g
             v = b2 * v + (1 - b2) * g**2
@@ -74,18 +75,18 @@ def cw_l2(
             better = fooled & (l2 < best_l2)
             best_adv = jnp.where(better[:, None, None, None], adv, best_adv)
             best_l2 = jnp.where(better, l2, best_l2)
-            return w, m, v, best_adv, best_l2
+            return w, m, v, best_adv, best_l2, fooled_round | fooled
 
-        _, _, _, best_adv, best_l2 = jax.lax.fori_loop(
-            0, steps, body, (w0, m0, v0, best_adv, best_l2)
+        _, _, _, best_adv, best_l2, fooled_round = jax.lax.fori_loop(
+            0, steps, body, (w0, m0, v0, best_adv, best_l2, fooled0)
         )
-        return best_adv, best_l2
+        return best_adv, best_l2, fooled_round
 
     def outer(step, carry):
         c, lo, hi, best_adv, best_l2 = carry
-        best_adv, best_l2 = inner(c, best_adv, best_l2)
-        found = jnp.isfinite(best_l2)
-        # standard CW bisection: success -> shrink c, failure -> grow
+        best_adv, best_l2, found = inner(c, best_adv, best_l2)
+        # standard CW bisection on THIS round's outcome (foolbox semantics):
+        # this c succeeded -> it becomes the new upper bound; failed -> lower
         new_hi = jnp.where(found, jnp.minimum(hi, c), hi)
         new_lo = jnp.where(found, lo, jnp.maximum(lo, c))
         new_c = jnp.where(

@@ -115,9 +115,10 @@ def l2pgd(
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """L2 projected gradient descent (attack.py:41-60)."""
     alpha = eps * rel_stepsize
-    u = jax.random.normal(key, x.shape, x.dtype)
+    k_dir, k_rad = jax.random.split(key)
+    u = jax.random.normal(k_dir, x.shape, x.dtype)
     u = u / jnp.maximum(jnp.sqrt(jnp.sum(u**2, axis=(1, 2, 3), keepdims=True)), 1e-12)
-    r = jax.random.uniform(key, (x.shape[0], 1, 1, 1)) ** (1.0 / (x[0].size))
+    r = jax.random.uniform(k_rad, (x.shape[0], 1, 1, 1)) ** (1.0 / (x[0].size))
     adv = jnp.clip(x + eps * r * u, 0.0, 1.0)
 
     def body(i, adv):

@@ -40,6 +40,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--train", action="store_true")
     p.add_argument("--test", action="store_true")
     p.add_argument("--calib", action="store_true")
+    p.add_argument("--tune_T", action="store_true",
+                   help="with --calib: also gradient-fit a softplus temperature "
+                        "by NLL on the cached samples (reference --tune_T path)")
     p.add_argument("--demo", action="store_true", help="tiny models + synthetic data")
     p.add_argument("--mlp_idx", type=int, default=None,
                    help="train only this member (reference semantics); default all")
@@ -173,10 +176,15 @@ def main(argv=None) -> int:
         result = runner.train(key, guidance_ckpt=args.guidance_ckpt,
                               epochs=cfg.training.n_epochs,
                               resume_from=args.resume_training,
-                              pretrain_guidance_steps=args.pretrain_guidance)
+                              pretrain_guidance_steps=args.pretrain_guidance,
+                              member_idx=args.mlp_idx)
         print(json.dumps({"mode": "train", "best_accuracy": result["best_accuracy"],
                           "steps": result["steps"]}))
         return 0
+
+    if args.tune_T and not args.calib:
+        print("--tune_T only applies with --calib", file=sys.stderr)
+        return 2
 
     if args.test or args.calib:
         gvars = runner.init_guidance(jax.random.PRNGKey(0), args.guidance_ckpt)
@@ -211,6 +219,12 @@ def main(argv=None) -> int:
             report = runner.test(key, stacked, gvars, eval_cfg)
         else:
             report = runner.calibrate(key, stacked, gvars, eval_cfg)
+            if args.tune_T:
+                from ladine_tpu.infer import tune_temperature_nll
+
+                report["nll_tuned_temperature"] = tune_temperature_nll(
+                    report["samples"], report["labels"]
+                )
         printable = {k: v for k, v in report.items() if k not in ("samples", "labels")}
         result = _json_sanitize({"mode": "test" if args.test else "calib", **printable})
         with open(os.path.join(log_dir, "report.json"), "w") as f:

@@ -116,24 +116,40 @@ class Runner:
             )
             yield images.astype(np.float32), labels
 
-    def _data_batches(self, split: str, batch_size: int, drop_last: bool, shuffle=False, seed=0):
-        c = self.config
-        name = c.data.dataset
-        if "Atk" in name:
-            attack = name.split("Atk")[1]
-            ds = load_attack_split(c.data.dataroot, attack, (self.img, self.img))
-        else:
-            ds = load_split(
-                c.data.dataroot, name, split,
-                preprocess=c.data.preprocess,
-                image_size=(self.img, self.img),
-            )
-        return ds.batches(batch_size, shuffle=shuffle, drop_last=drop_last, seed=seed)
+    def _dataset(self, split: str):
+        """Open (and cache) the ImageFolderDataset for a split — the file
+        listing is scanned once per run, not once per epoch."""
+        if not hasattr(self, "_ds_cache"):
+            self._ds_cache = {}
+        if split not in self._ds_cache:
+            c = self.config
+            name = c.data.dataset
+            if "Atk" in name:
+                attack = name.split("Atk")[1]
+                ds = load_attack_split(c.data.dataroot, attack, (self.img, self.img))
+            else:
+                ds = load_split(
+                    c.data.dataroot, name, split,
+                    preprocess=c.data.preprocess,
+                    image_size=(self.img, self.img),
+                )
+            self._ds_cache[split] = ds
+        return self._ds_cache[split]
 
     def batches(self, split: str, batch_size: int, drop_last: bool = False, shuffle=False, seed=0):
         if self.demo:
             return self._demo_batches(batch=batch_size)
-        return self._data_batches(split, batch_size, drop_last, shuffle, seed)
+        return self._dataset(split).batches(
+            batch_size, shuffle=shuffle, drop_last=drop_last, seed=seed
+        )
+
+    def num_batches(self, split: str, batch_size: int, drop_last: bool = False) -> int:
+        """Batch count from the file listing — no decoding (the naive
+        sum-over-generator would PIL-decode the entire split)."""
+        if self.demo:
+            return 3
+        n = len(self._dataset(split))
+        return n // batch_size if drop_last else -(-n // batch_size)
 
     # ------------------------------------------------------- guidance io
 
@@ -170,14 +186,22 @@ class Runner:
     def train(self, key: jax.Array, guidance_ckpt: Optional[str] = None,
               epochs: Optional[int] = None,
               resume_from: Optional[str] = None,
-              pretrain_guidance_steps: int = 0) -> Dict[str, Any]:
+              pretrain_guidance_steps: int = 0,
+              member_idx: Optional[int] = None) -> Dict[str, Any]:
         """Train ALL diffusion members concurrently (reference: one member
-        per process invocation, train.sh). ``resume_from`` restores states +
-        guidance + epoch from a checkpoint (the reference's --resume_training
-        is commented out, classification_train_separately.py:890-908 — here
-        it works)."""
+        per process invocation, train.sh), or just ``member_idx`` — the
+        reference's per-member MLP_IDX workflow. ``resume_from`` restores
+        states + guidance + epoch from a checkpoint (the reference's
+        --resume_training is commented out,
+        classification_train_separately.py:890-908 — here it works)."""
         c = self.config
         epochs = epochs if epochs is not None else c.training.n_epochs
+        if member_idx is not None and not 0 <= member_idx < c.diffusion.num_members:
+            raise ValueError(
+                f"member_idx {member_idx} out of range [0, {c.diffusion.num_members})"
+            )
+        head_indices = (member_idx,) if member_idx is not None else None
+        n_train_members = 1 if member_idx is not None else c.diffusion.num_members
         gvars = self.init_guidance(jax.random.PRNGKey(0), guidance_ckpt)
         if pretrain_guidance_steps:
             gvars = self.pretrain_guidance(gvars, steps=pretrain_guidance_steps,
@@ -185,7 +209,7 @@ class Runner:
         elif self.demo and guidance_ckpt is None:
             gvars = self.pretrain_guidance(gvars)
 
-        steps_per_epoch = max(1, sum(1 for _ in self.batches("train", c.training.batch_size)))
+        steps_per_epoch = max(1, self.num_batches("train", c.training.batch_size))
         # the reference's warmup (40 epochs) assumes n_epochs=1000; clamp so
         # short runs don't spend their whole budget at ~zero LR
         warmup = min(c.training.warmup_epochs, max(1, epochs // 10))
@@ -196,8 +220,8 @@ class Runner:
         )
         tx = make_optimizer(c.optim.optimizer, lr, c.optim.weight_decay,
                             c.optim.beta1, c.optim.eps, c.optim.grad_clip)
-        states = create_member_states(self.cond, key, tx, c.diffusion.num_members)
-        mesh = self._maybe_mesh(c.training.batch_size)
+        states = create_member_states(self.cond, key, tx, n_train_members)
+        mesh = self._maybe_mesh(c.training.batch_size) if member_idx is None else None
         start_epoch = 0
         if resume_from:
             tree, meta = load_checkpoint(resume_from, target={"states": states, "guidance": gvars})
@@ -206,7 +230,8 @@ class Runner:
             self.logger.info(f"resumed from {resume_from} at epoch {start_epoch}")
         raw_step = make_full_train_step(
             self.guidance, gvars, self.cond, tx, self.sched,
-            c.diffusion.num_members, c.data.num_classes, c.model.ema_rate,
+            n_train_members, c.data.num_classes, c.model.ema_rate,
+            head_indices=head_indices,
         )
         if mesh is not None:
             from ladine_tpu.parallel import (
@@ -251,13 +276,18 @@ class Runner:
                     )
                     self.scalars.add_scalar("loss/mean", float(l.mean()), global_step)
             if epoch % c.training.validation_freq == 0 or epoch + 1 == epochs:
-                acc = self._validate(gvars, states, key)
+                acc = self._validate(gvars, states, key, head_indices=head_indices)
                 self.scalars.add_scalar("accuracy", acc, global_step)
                 self.logger.info(f"epoch {epoch}: validation majority-vote acc {acc:.2f}%")
                 if acc > best_acc:
                     best_acc = acc
                     path = os.path.join(
-                        self.log_dir, best_checkpoint_name("diffu_all", 0, epoch, acc)
+                        self.log_dir,
+                        best_checkpoint_name(
+                            "diffu" if member_idx is not None else "diffu_all",
+                            member_idx if member_idx is not None else 0,
+                            epoch, acc,
+                        )
                     )
                     save_checkpoint(
                         path,
@@ -267,18 +297,47 @@ class Runner:
                     self.logger.info(f"saved best ckpt to {path}")
         return {"best_accuracy": best_acc, "steps": global_step, "states": states, "guidance": gvars}
 
-    def _validate(self, gvars, states, key, mc_trials: int = 1) -> float:
+    def _validate(self, gvars, states, key, mc_trials: int = 1,
+                  head_indices=None) -> float:
+        """Majority-vote accuracy on the validation split — the in-training
+        quality gate (classification_train_separately.py:1054-1129).
+        ``head_indices`` aligns guidance heads with the trained members for
+        single-member (--mlp_idx) runs."""
+        import jax.numpy as jnp
+
+        from ladine_tpu.infer import nested_ensemble_sample
+        from ladine_tpu.metrics import majority_vote
+        from ladine_tpu.ops import ddim_timesteps
+
         c = self.config
         variables = jax.vmap(lambda s: {"params": s.params, "batch_stats": s.batch_stats})(states)
-        cfg = EvalConfig(
-            mc_trials=mc_trials, temperature=self.temperature,
-            ddim_steps=c.diffusion.ddim_steps,
+        n_members = jax.tree.leaves(states.step)[0].shape[0]
+        idx = jnp.asarray(head_indices if head_indices is not None else range(n_members))
+        tau = (
+            ddim_timesteps(self.sched.num_timesteps, c.diffusion.ddim_steps)
+            if c.diffusion.ddim_steps
+            else None
         )
-        report = evaluate_ensemble(
-            self.guidance, gvars, self.cond, variables, self.sched,
-            self.batches("valid", c.sampling.batch_size), cfg, key,
-        )
-        return report["majority_vote_accuracy"]
+
+        @jax.jit
+        def pipe(variables, images, key):
+            heads = self.guidance.apply(gvars, images)
+            y0_hat = jax.nn.softmax(heads.astype(jnp.float32), axis=-1)[idx]
+            x_flat = images.reshape(images.shape[0], -1)
+            return nested_ensemble_sample(
+                self.cond, variables, x_flat, y0_hat, key, self.sched,
+                mc_trials=mc_trials, tau=tau,
+            )
+
+        correct = total = 0
+        for images, labels in self.batches("valid", c.sampling.batch_size):
+            key, sub = jax.random.split(key)
+            samples = pipe(variables, jnp.asarray(images), sub)
+            m, k, b, cl = samples.shape
+            mv = np.asarray(majority_vote(samples.reshape(m * k, b, cl)))
+            correct += int((mv == np.asarray(labels)).sum())
+            total += len(labels)
+        return 100.0 * correct / max(total, 1)
 
     def _maybe_mesh(self, batch_size: int):
         """('member', 'data') mesh over all visible devices when >1 — the

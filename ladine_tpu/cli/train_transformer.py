@@ -79,14 +79,22 @@ def main(argv=None) -> int:
             images = (rng.random((b, img, img, 3)) * 0.1 + labels[:, None, None, None] * 0.5)
             yield images.astype(np.float32), labels
 
+    datasets = {}
+
     def batches(split, bs, shuffle=False, seed=0):
         if args.demo:
             return demo_batches(seed=seed)
-        ds = load_split(args.dataroot, args.dataset, split, args.preprocess,
-                        image_size=(img, img))
-        return ds.batches(bs, shuffle=shuffle, seed=seed)
+        if split not in datasets:
+            datasets[split] = load_split(args.dataroot, args.dataset, split,
+                                         args.preprocess, image_size=(img, img))
+        return datasets[split].batches(bs, shuffle=shuffle, seed=seed)
 
-    steps_per_epoch = max(1, sum(1 for _ in batches("train", args.batch_size)))
+    if args.demo:
+        steps_per_epoch = 4
+    else:
+        datasets["train"] = load_split(args.dataroot, args.dataset, "train",
+                                       args.preprocess, image_size=(img, img))
+        steps_per_epoch = max(1, -(-len(datasets["train"]) // args.batch_size))
     tx = make_optimizer("AdamW",
                         step_decay(args.lr, args.step_size, args.gamma, steps_per_epoch),
                         weight_decay=args.weight_decay, grad_clip=None)

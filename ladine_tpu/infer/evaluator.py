@@ -59,7 +59,11 @@ class EvalConfig:
     attack_eps: float = 0.03
     ddim_steps: int = 0  # 0 = full ancestral chain (reference behavior)
     ddim_eta: float = 0.0  # stochasticity of the strided sampler
-    selected_members: Optional[Tuple[int, ...]] = None  # None = all stacked members
+    # indices into the guidance heads AND the (full) stacked member variables
+    # (the reference loads 6 members but runs selected_block_indices=[0..4],
+    # classification_train_separately.py:275, 767-769); None = first
+    # num_members heads with all stacked members
+    selected_members: Optional[Tuple[int, ...]] = None
     unroll: int = 1  # reverse-scan unroll factor
 
 
@@ -106,13 +110,17 @@ def make_eval_pipeline(
             images, _ = attack(images, labels, k_attack)
         heads = guidance.apply(guidance_vars, images)  # (M+1, B, C)
         y0_hat = jax.nn.softmax(heads.astype(jnp.float32), axis=-1)
+        vars_run = stacked_vars
         if cfg.selected_members is not None:
-            y0_hat = y0_hat[jnp.asarray(cfg.selected_members)]
+            idx = jnp.asarray(cfg.selected_members)
+            y0_hat = y0_hat[idx]
+            # slice the member axis of the stacked variables to match
+            vars_run = jax.tree.map(lambda x: x[idx], stacked_vars)
         else:
             y0_hat = y0_hat[:num_members]
         x_flat = images.reshape(images.shape[0], -1)
         return nested_ensemble_sample(
-            model, stacked_vars, x_flat, y0_hat, k_sample, sched,
+            model, vars_run, x_flat, y0_hat, k_sample, sched,
             mc_trials=cfg.mc_trials, tau=tau, eta=cfg.ddim_eta, unroll=cfg.unroll,
         )
 
@@ -126,14 +134,19 @@ def make_eval_pipeline(
     rep = NamedSharding(mesh, P())
     out = NamedSharding(mesh, P("member", None, "data"))
 
+    cache = {}
+
     def jitted(stacked_vars, images, labels, key):
-        vars_shard = jax.tree.map(lambda _: member, stacked_vars)
-        fn = jax.jit(
-            pipeline,
-            in_shardings=(vars_shard, data, data, rep),
-            out_shardings=out,
-        )
-        return fn(stacked_vars, images, labels, key)
+        # build the sharded jit once (shardings need the variables' structure,
+        # which we only see at the first call)
+        if "fn" not in cache:
+            vars_shard = jax.tree.map(lambda _: member, stacked_vars)
+            cache["fn"] = jax.jit(
+                pipeline,
+                in_shardings=(vars_shard, data, data, rep),
+                out_shardings=out,
+            )
+        return cache["fn"](stacked_vars, images, labels, key)
 
     return jitted
 

@@ -162,17 +162,23 @@ def make_full_train_step(
     num_members: int,
     num_classes: int,
     ema_rate: float = 0.9999,
+    head_indices: Optional[Tuple[int, ...]] = None,
 ) -> Callable:
     """The COMPLETE jittable training step: images -> frozen SEViT guidance
-    (stop-gradient) -> all-member diffusion updates.
+    (stop-gradient) -> diffusion updates for every trained member.
+
+    ``head_indices`` selects which guidance heads condition the stacked
+    members (default 0..num_members-1); a single index reproduces the
+    reference's per-member MLP_IDX training runs.
 
     (stacked_state, images NHWC, labels, key) -> (stacked_state, losses (M,))
     """
     multi_step = make_multi_member_step(model, tx, sched, ema_rate)
+    idx = jnp.asarray(head_indices if head_indices is not None else range(num_members))
 
     def step(states, images, labels, key):
         heads = guidance.apply(guidance_vars, images)  # (M+1, B, C) logits
-        y0_hat = jax.lax.stop_gradient(jax.nn.softmax(heads, axis=-1)[:num_members])
+        y0_hat = jax.lax.stop_gradient(jax.nn.softmax(heads, axis=-1)[idx])
         y0, _ = one_hot_and_prototype(labels, num_classes)
         x_flat = images.reshape(images.shape[0], -1)
         return multi_step(states, x_flat, y0, y0_hat, key)

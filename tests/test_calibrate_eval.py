@@ -120,14 +120,12 @@ def test_evaluate_with_corruptions_and_attack(tiny_pipeline):
 
 def test_selected_members_subset(tiny_pipeline):
     """The reference loads 6 members but runs only selected_block_indices
-    (classification_train_separately.py:275, 767-769)."""
+    (classification_train_separately.py:275, 767-769): selected_members
+    slices both the guidance heads and the FULL stacked variables."""
     guidance, gvars, model, stacked, sched = tiny_pipeline
-    # take members 0 and 2 of the stacked 3
-    import jax as _jax
-
-    sub = _jax.tree.map(lambda x: x[jnp.array([0, 2])], stacked)
     cfg = EvalConfig(mc_trials=2, temperature=0.2, selected_members=(0, 2))
     report = evaluate_ensemble(
-        guidance, gvars, model, sub, sched, _batches(), cfg, jax.random.PRNGKey(0)
+        guidance, gvars, model, stacked, sched, _batches(), cfg, jax.random.PRNGKey(0)
     )
     assert report["num_samples"] == 4  # 2 members x 2 trials
+    assert np.isfinite(report["samples"]).all()
