@@ -43,6 +43,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--tune_T", action="store_true",
                    help="with --calib: also gradient-fit a softplus temperature "
                         "by NLL on the cached samples (reference --tune_T path)")
+    p.add_argument("--save_samples", action="store_true",
+                   help="with --test/--calib: dump raw MC samples + labels to "
+                        "samples.npz in the log dir for offline recalibration")
+    p.add_argument("--cached_samples", type=str, default=None,
+                   help="with --calib: recalibrate from a samples.npz dump "
+                        "WITHOUT re-running inference")
     p.add_argument("--demo", action="store_true", help="tiny models + synthetic data")
     p.add_argument("--mlp_idx", type=int, default=None,
                    help="train only this member (reference semantics); default all")
@@ -186,6 +192,27 @@ def main(argv=None) -> int:
         print("--tune_T only applies with --calib", file=sys.stderr)
         return 2
 
+    if args.calib and args.cached_samples:
+        # offline recalibration: pure reweighting of a previous dump — no
+        # models, no inference (the reference reruns full ensemble inference
+        # per Nelder-Mead objective evaluation)
+        from ladine_tpu.infer import compute_report, temperature_search, tune_temperature_nll
+
+        dump = np.load(args.cached_samples)
+        t_best, _ = temperature_search(dump["samples"], dump["labels"])
+        report = compute_report(dump["samples"], dump["labels"], t_best)
+        report["calibrated_temperature"] = t_best
+        if args.tune_T:
+            report["nll_tuned_temperature"] = tune_temperature_nll(
+                dump["samples"], dump["labels"]
+            )
+        printable = {k: v for k, v in report.items() if k not in ("samples", "labels")}
+        result = _json_sanitize({"mode": "calib_cached", **printable})
+        with open(os.path.join(log_dir, "report.json"), "w") as f:
+            json.dump(result, f, indent=2)
+        print(json.dumps(result))
+        return 0
+
     if args.test or args.calib:
         gvars = runner.init_guidance(jax.random.PRNGKey(0), args.guidance_ckpt)
         stacked = runner.init_members(jax.random.PRNGKey(1), args.diffusion_ckpt)
@@ -219,12 +246,17 @@ def main(argv=None) -> int:
             report = runner.test(key, stacked, gvars, eval_cfg)
         else:
             report = runner.calibrate(key, stacked, gvars, eval_cfg)
-            if args.tune_T:
-                from ladine_tpu.infer import tune_temperature_nll
+        if args.calib and args.tune_T:
+            from ladine_tpu.infer import tune_temperature_nll
 
-                report["nll_tuned_temperature"] = tune_temperature_nll(
-                    report["samples"], report["labels"]
-                )
+            report["nll_tuned_temperature"] = tune_temperature_nll(
+                report["samples"], report["labels"]
+            )
+        if args.save_samples:
+            np.savez_compressed(
+                os.path.join(log_dir, "samples.npz"),
+                samples=report["samples"], labels=report["labels"],
+            )
         printable = {k: v for k, v in report.items() if k not in ("samples", "labels")}
         result = _json_sanitize({"mode": "test" if args.test else "calib", **printable})
         with open(os.path.join(log_dir, "report.json"), "w") as f:
