@@ -45,6 +45,9 @@ def main():
     ap.add_argument("--pallas", action="store_true",
                     help="use the fully-fused Pallas eps kernel in the scan body")
     ap.add_argument("--unroll", type=int, default=1, help="reverse-scan unroll factor")
+    ap.add_argument("--train", action="store_true",
+                    help="benchmark the diffusion-member training step instead "
+                         "(full-size ConditionalModel, fp32 Adam + EMA)")
     args = ap.parse_args()
 
     import jax
@@ -92,6 +95,9 @@ def main():
     )
     sched = DiffusionSchedule.create("linear", T, 1e-4, 0.02)
     tau = ddim_timesteps(T, args.ddim) if args.ddim else None
+
+    if args.train:
+        return train_bench(args, img, feat, hidden, T, dtype)
 
     print(f"[bench] init: M={M} B={B} K={K} T={T} img={img} feat={feat} "
           f"sampler={'ddim%d' % args.ddim if args.ddim else 'ancestral'} "
@@ -171,6 +177,69 @@ def main():
         "vs_baseline": round(img_per_sec / REFERENCE_BASELINE_IMG_PER_SEC, 1),
     }
     print(json.dumps(result))
+
+
+def train_bench(args, img, feat, hidden, T, dtype):
+    """Diffusion-member training throughput: one full-size member, the
+    reference's per-step work (antithetic t, q_sample, eps forward+backward,
+    clip, Adam, EMA) on a training batch. fp32 state (Adam numerics), bf16
+    compute when on TPU."""
+    import jax
+    import jax.numpy as jnp
+
+    from ladine_tpu.models import ConditionalModel
+    from ladine_tpu.ops import DiffusionSchedule
+    from ladine_tpu.train import create_member_state, make_member_step, make_optimizer
+
+    B = 30 if not args.tiny else 8
+    cond = ConditionalModel(data_dim=img * img * 3, feature_dim=feat,
+                            hidden_dim=hidden, y_dim=2, n_steps=T + 1, dtype=dtype)
+    sched = DiffusionSchedule.create("linear", T, 1e-4, 0.02)
+    tx = make_optimizer("Adam", 1e-3, grad_clip=1.0)
+
+    # structure via eval_shape, deterministic fill (see main bench)
+    shapes = jax.eval_shape(
+        lambda: create_member_state(cond, jax.random.PRNGKey(0), tx, batch_size=1)
+    )
+    i = [0]
+
+    def fill(s):
+        i[0] += 1
+        return jnp.full(s.shape, 0.02 * ((i[0] % 7) - 3) / 3.0, s.dtype)
+
+    state = jax.tree.map(fill, shapes)
+    state = state.replace(
+        batch_stats=jax.tree.map(lambda x: jnp.abs(x) + 1.0, state.batch_stats),
+        step=jnp.asarray(0, jnp.int32),
+    )
+    # donate the state so XLA updates params/moments/EMA in place — without
+    # donation the old + new state coexist and the fp32 member (~13 GB of
+    # state) OOMs the 16 GB chip
+    step = jax.jit(make_member_step(cond, tx, sched), donate_argnums=(0,))
+    x = jax.random.uniform(jax.random.PRNGKey(1), (B, img * img * 3), jnp.float32)
+    y0 = jnp.eye(2)[jnp.tile(jnp.array([0, 1]), B // 2 + 1)[:B]]
+    yhat = jnp.full((B, 2), 0.5)
+
+    t0 = time.time()
+    state, loss = step(state, x, y0, yhat, jax.random.PRNGKey(2))
+    jax.block_until_ready(loss)
+    print(f"[bench] train compile+first step: {time.time() - t0:.1f}s loss {float(loss):.4f}",
+          file=sys.stderr)
+    times = []
+    for r in range(args.repeats):
+        t0 = time.time()
+        for _ in range(10):
+            state, loss = step(state, x, y0, yhat, jax.random.PRNGKey(3 + r))
+        jax.block_until_ready(loss)
+        times.append((time.time() - t0) / 10)
+        print(f"[bench] train run {r}: {times[-1] * 1e3:.1f} ms/step", file=sys.stderr)
+    best = min(times)
+    print(json.dumps({
+        "metric": "diffusion_member_train_images_per_sec",
+        "value": round(B / best, 1),
+        "unit": f"images/sec (batch {B}, full-size member, fp32 Adam+EMA)",
+        "vs_baseline": round((B / best) / 30.0, 1),  # reference: ~1 step/s est. on A100
+    }))
 
 
 if __name__ == "__main__":

@@ -243,11 +243,15 @@ class Runner:
                 st_shard = fsdp_shardings(states, mesh)
             else:
                 st_shard = tree_shardings(states, member_sharding(mesh))
+            # donate the member states: params/moments/EMA update in place
+            # (without donation old+new state coexist — the full-size fp32
+            # state alone is ~13 GB of a 16 GB chip)
             step_fn = jax.jit(
                 raw_step,
                 in_shardings=(st_shard, data_sharding(mesh), data_sharding(mesh),
                               replicated(mesh)),
                 out_shardings=(st_shard, member_sharding(mesh)),
+                donate_argnums=(0,),
             )
             states = (
                 jax.tree.map(jax.device_put, states, st_shard)
@@ -258,7 +262,7 @@ class Runner:
                 f"training on mesh {dict(zip(mesh.axis_names, mesh.devices.shape))}"
             )
         else:
-            step_fn = jax.jit(raw_step)
+            step_fn = jax.jit(raw_step, donate_argnums=(0,))
 
         best_acc = -1.0
         global_step = 0
