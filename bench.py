@@ -44,6 +44,9 @@ def main():
     ap.add_argument("--repeats", type=int, default=3)
     ap.add_argument("--pallas", action="store_true",
                     help="use the fully-fused Pallas eps kernel in the scan body")
+    ap.add_argument("--int8", action="store_true",
+                    help="EXPERIMENTAL: int8 weights+activations for the two big "
+                         "eps matmuls (2x MXU OPS on v5e)")
     ap.add_argument("--unroll", type=int, default=1, help="reverse-scan unroll factor")
     ap.add_argument("--train", action="store_true",
                     help="benchmark the diffusion-member training step instead "
@@ -150,6 +153,7 @@ def main():
         return nested_ensemble_sample(cond, stacked, xf, y0_hat, key, sched,
                                       mc_trials=K, tau=tau,
                                       use_pallas_eps=args.pallas,
+                                      use_int8_eps=args.int8,
                                       unroll=args.unroll)
 
     # compile + warmup

@@ -50,6 +50,7 @@ def member_mc_sample(
     tau: Optional[jnp.ndarray] = None,
     eta: float = 0.0,
     use_pallas_eps: bool = False,
+    use_int8_eps: bool = False,
     unroll: int = 1,
 ) -> jnp.ndarray:
     """MC samples from ONE member's reverse chain: (mc_trials, B, y_dim).
@@ -64,7 +65,15 @@ def member_mc_sample(
     """
     f = model.apply(member_vars, x_flat, method="encode")
 
-    if use_pallas_eps:
+    if use_int8_eps:
+        from ladine_tpu.kernels.int8 import int8_eps, quantize_member
+
+        qvars = quantize_member(member_vars)  # once per call, outside the scan
+
+        def eps_fn(y, t):
+            return int8_eps(qvars, f, y, t, y0_hat).astype(f.dtype)
+
+    elif use_pallas_eps:
         from ladine_tpu.kernels.fused_eps import fused_eps
 
         def eps_fn(y, t):
@@ -94,6 +103,7 @@ def nested_ensemble_sample(
     tau: Optional[jnp.ndarray] = None,
     eta: float = 0.0,
     use_pallas_eps: bool = False,
+    use_int8_eps: bool = False,
     unroll: int = 1,
 ) -> jnp.ndarray:
     """Draw all members' MC samples in one shot: (M, mc_trials, B, y_dim).
@@ -118,6 +128,7 @@ def nested_ensemble_sample(
         tau=tau,
         eta=eta,
         use_pallas_eps=use_pallas_eps,
+        use_int8_eps=use_int8_eps,
         unroll=unroll,
     )
     return jax.vmap(lambda v, yh, k: fn(v, x_flat, yh, k))(

@@ -1,0 +1,86 @@
+"""Experimental int8 inference path for the eps-net's hot matmuls.
+
+The v5e MXU does 2x int8 OPS vs bf16 (394 vs 197 T); the reverse-diffusion
+step is dominated by two feature_dim^2 matmuls (docs/DESIGN.md §1), so
+weight+activation int8 with per-channel/per-row scales can approach ~1.5x
+end-to-end after quantization overhead.
+
+Scheme: symmetric max-abs — weights quantized per OUTPUT channel offline,
+activations per ROW dynamically each step. Accumulation in int32
+(lax.dot_general(preferred_element_type=int32) hits the int8 MXU path),
+dequantized by the product of the two scales, then the folded gate/BN affine
+and softplus in fp32.
+
+EXPERIMENTAL: accuracy/ECE impact must be validated on real data before
+production use (docs/ROADMAP.md #2). Gated behind ``use_int8_eps``.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ladine_tpu.kernels.fused_eps import _fold
+
+
+def quantize_weight(w: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """(K, N) float -> (int8 (K, N), per-output-channel scale (N,))."""
+    scale = jnp.max(jnp.abs(w), axis=0) / 127.0
+    scale = jnp.maximum(scale, 1e-8)
+    w_q = jnp.clip(jnp.round(w / scale), -127, 127).astype(jnp.int8)
+    return w_q, scale.astype(jnp.float32)
+
+
+def int8_matmul(x: jnp.ndarray, w_q: jnp.ndarray, w_scale: jnp.ndarray) -> jnp.ndarray:
+    """(R, K) float @ int8 (K, N) -> (R, N) fp32, dynamic per-row activation
+    quantization."""
+    x = x.astype(jnp.float32)
+    x_scale = jnp.max(jnp.abs(x), axis=1, keepdims=True) / 127.0
+    x_scale = jnp.maximum(x_scale, 1e-8)
+    x_q = jnp.clip(jnp.round(x / x_scale), -127, 127).astype(jnp.int8)
+    acc = jax.lax.dot_general(
+        x_q, w_q, (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32
+    )
+    return acc.astype(jnp.float32) * x_scale * w_scale[None, :]
+
+
+def quantize_member(variables: Any) -> Any:
+    """Pre-quantize the two big y-branch kernels of one member's variables;
+    returns {'int8': {lin2/lin3: (w_q, scale)}, **variables}."""
+    params = variables["params"]
+    q = {}
+    for name in ("lin2", "lin3"):
+        w = params[name]["TorchLinear_0"]["Dense_0"]["kernel"]
+        q[name] = quantize_weight(jnp.asarray(w, jnp.float32))
+    return {**variables, "int8": q}
+
+
+def int8_eps(
+    qvars: Any,
+    f: jnp.ndarray,
+    y: jnp.ndarray,
+    t: jnp.ndarray,
+    y_hat: jnp.ndarray,
+) -> jnp.ndarray:
+    """eps forward with int8 lin2/lin3 (the >99%-of-FLOPs layers); lin1/lin4
+    and all affines stay fp32. Mirrors kernels/fused_eps.fused_eps."""
+    params = qvars["params"]
+    stats = qvars["batch_stats"]
+    y_in = jnp.concatenate([y, y_hat], axis=-1)
+
+    w1, a1, c1 = _fold(params["lin1"], params["unetnorm1"], stats["unetnorm1"], t)
+    h = jax.nn.softplus(jnp.dot(y_in, w1, preferred_element_type=jnp.float32) * a1 + c1)
+    h = f.astype(jnp.float32) * h
+
+    for name, bn in (("lin2", "unetnorm2"), ("lin3", "unetnorm3")):
+        # _fold's (a, c) absorb the timestep gate, the linear bias and the
+        # eval BN, so the int8 matmul only needs to produce x @ W
+        _, a, c = _fold(params[name], params[bn], stats[bn], t)
+        w_q, w_scale = qvars["int8"][name]
+        z = int8_matmul(h, w_q, w_scale) * a + c
+        h = jax.nn.softplus(z)
+
+    dense4 = params["lin4"]["Dense_0"]
+    return jnp.dot(h, dense4["kernel"], preferred_element_type=jnp.float32) + dense4["bias"]

@@ -1,0 +1,64 @@
+"""Experimental int8 eps path: numerical closeness + sampler viability."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ladine_tpu.infer import member_mc_sample
+from ladine_tpu.kernels.int8 import int8_eps, int8_matmul, quantize_member, quantize_weight
+from ladine_tpu.models import ConditionalModel
+from ladine_tpu.ops import DiffusionSchedule
+
+
+def test_quantize_weight_roundtrip():
+    w = jax.random.normal(jax.random.PRNGKey(0), (32, 16)) * 0.3
+    w_q, scale = quantize_weight(w)
+    assert w_q.dtype == jnp.int8
+    rec = np.asarray(w_q, np.float32) * np.asarray(scale)[None, :]
+    # max-abs symmetric quant: error bounded by half a quantization step
+    step = np.asarray(scale)
+    assert np.all(np.abs(rec - np.asarray(w)) <= step[None, :] * 0.5 + 1e-7)
+
+
+def test_int8_matmul_close():
+    x = jax.random.normal(jax.random.PRNGKey(1), (8, 64))
+    w = jax.random.normal(jax.random.PRNGKey(2), (64, 32)) * 0.1
+    w_q, scale = quantize_weight(w)
+    got = int8_matmul(x, w_q, scale)
+    ref = np.asarray(x) @ np.asarray(w)
+    # int8 with per-row/per-channel scales: ~1% relative error at these sizes
+    denom = np.abs(ref).mean()
+    assert np.abs(np.asarray(got) - ref).mean() / denom < 0.02
+
+
+@pytest.fixture(scope="module")
+def cm():
+    model = ConditionalModel(data_dim=24, feature_dim=32, hidden_dim=32, y_dim=2, n_steps=11)
+    x = jax.random.normal(jax.random.PRNGKey(0), (5, 24))
+    y = jax.random.normal(jax.random.PRNGKey(1), (5, 2))
+    yhat = jax.nn.softmax(jax.random.normal(jax.random.PRNGKey(2), (5, 2)))
+    v = model.init(jax.random.PRNGKey(3), x, y, jnp.asarray(5), yhat)
+    return model, v, x, y, yhat
+
+
+def test_int8_eps_close_to_fp(cm):
+    model, v, x, y, yhat = cm
+    f = model.apply(v, x, method="encode")
+    ref = model.apply(v, f, y, jnp.asarray(5), yhat, method="eps")
+    qv = quantize_member(v)
+    got = int8_eps(qv, f, y, jnp.asarray(5), yhat)
+    err = float(jnp.abs(got - ref).mean() / (jnp.abs(ref).mean() + 1e-8))
+    assert err < 0.05, f"int8 eps relative error {err:.3f}"
+
+
+def test_int8_sampler_runs(cm):
+    model, v, x, y, yhat = cm
+    sched = DiffusionSchedule.create("linear", 10, 1e-4, 0.02)
+    fp = member_mc_sample(model, v, x, yhat, jax.random.PRNGKey(7), sched, 4)
+    q = member_mc_sample(model, v, x, yhat, jax.random.PRNGKey(7), sched, 4, use_int8_eps=True)
+    assert np.isfinite(np.asarray(q)).all()
+    # same keys -> same noise; outputs should be close, votes mostly agree
+    fp_votes = np.asarray(jnp.argmax(fp, -1))
+    q_votes = np.asarray(jnp.argmax(q, -1))
+    assert (fp_votes == q_votes).mean() > 0.8
