@@ -195,7 +195,7 @@ def train_bench(args, img, feat, hidden, T, dtype):
     from ladine_tpu.ops import DiffusionSchedule
     from ladine_tpu.train import create_member_state, make_member_step, make_optimizer
 
-    B = 30 if not args.tiny else 8
+    B = args.batch if not args.tiny else 8  # default 70; reference trains at 30
     cond = ConditionalModel(data_dim=img * img * 3, feature_dim=feat,
                             hidden_dim=hidden, y_dim=2, n_steps=T + 1, dtype=dtype)
     sched = DiffusionSchedule.create("linear", T, 1e-4, 0.02)

@@ -223,11 +223,19 @@ class Runner:
         states = create_member_states(self.cond, key, tx, n_train_members)
         mesh = self._maybe_mesh(c.training.batch_size) if member_idx is None else None
         start_epoch = 0
+        best_acc = -1.0
         if resume_from:
             tree, meta = load_checkpoint(resume_from, target={"states": states, "guidance": gvars})
             states, gvars = tree["states"], tree["guidance"]
             start_epoch = int(meta.get("epoch", -1)) + 1
-            self.logger.info(f"resumed from {resume_from} at epoch {start_epoch}")
+            # restore the historical best so a worse post-resume validation
+            # doesn't overwrite the 'best' checkpoint
+            best_acc = float(meta.get("accuracy", -1.0))
+            # diverge the key stream from the original run's replay
+            key = jax.random.fold_in(key, start_epoch)
+            self.logger.info(
+                f"resumed from {resume_from} at epoch {start_epoch} (best acc {best_acc:.2f})"
+            )
         raw_step = make_full_train_step(
             self.guidance, gvars, self.cond, tx, self.sched,
             n_train_members, c.data.num_classes, c.model.ema_rate,
@@ -264,7 +272,6 @@ class Runner:
         else:
             step_fn = jax.jit(raw_step, donate_argnums=(0,))
 
-        best_acc = -1.0
         global_step = 0
         t0 = time.time()
         for epoch in range(start_epoch, epochs):
@@ -280,7 +287,11 @@ class Runner:
                     )
                     self.scalars.add_scalar("loss/mean", float(l.mean()), global_step)
             if epoch % c.training.validation_freq == 0 or epoch + 1 == epochs:
-                acc = self._validate(gvars, states, key, head_indices=head_indices)
+                # validation uses a key stream derived from the epoch, not the
+                # training stream — otherwise the steps after a validation
+                # reuse exactly the key material validation just consumed
+                val_key = jax.random.fold_in(key, 1_000_000 + epoch)
+                acc = self._validate(gvars, states, val_key, head_indices=head_indices)
                 self.scalars.add_scalar("accuracy", acc, global_step)
                 self.logger.info(f"epoch {epoch}: validation majority-vote acc {acc:.2f}%")
                 if acc > best_acc:

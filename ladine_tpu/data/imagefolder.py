@@ -31,7 +31,9 @@ import numpy as np
 
 from ladine_tpu.data.constants import IMAGE_SIZE, NORM_STATS
 
-_EXTS = (".jpg", ".jpeg", ".png", ".bmp", ".gif", ".tiff", ".webp")
+# torchvision IMG_EXTENSIONS (datasets/folder.py) — .tif/.ppm/.pgm matter for
+# medical corpora; .gif is NOT accepted by torchvision and so not here either
+_EXTS = (".jpg", ".jpeg", ".png", ".ppm", ".bmp", ".pgm", ".tif", ".tiff", ".webp")
 
 SPLIT_DIRS = {"train": "training", "valid": "validation", "test": "testing"}
 
@@ -107,12 +109,21 @@ class ImageFolderDataset:
     def num_classes(self) -> int:
         return len(self.classes)
 
+    def _pool(self) -> ThreadPoolExecutor:
+        """Persistent decode pool (a fresh pool per batch would spawn and
+        join num_workers OS threads hundreds of thousands of times over a
+        long training run)."""
+        pool = getattr(self, "_decode_pool", None)
+        if pool is None:
+            pool = ThreadPoolExecutor(max_workers=self.num_workers)
+            object.__setattr__(self, "_decode_pool", pool)
+        return pool
+
     def load_indices(self, indices: Sequence[int]) -> np.ndarray:
         gray = self.preprocess == "grayscaled"
-        with ThreadPoolExecutor(max_workers=self.num_workers) as ex:
-            imgs = list(
-                ex.map(lambda i: _load_image(self.paths[i], self.image_size, gray), indices)
-            )
+        imgs = list(
+            self._pool().map(lambda i: _load_image(self.paths[i], self.image_size, gray), indices)
+        )
         batch = np.stack(imgs)  # (B, H, W, 3)
         if self.preprocess == "standardized":
             batch = (batch - self.mean) / self.std

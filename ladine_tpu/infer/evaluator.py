@@ -135,8 +135,15 @@ def make_eval_pipeline(
     out = NamedSharding(mesh, P("member", None, "data"))
 
     cache = {}
+    data_dim = dict(zip(mesh.axis_names, mesh.devices.shape))["data"]
 
     def jitted(stacked_vars, images, labels, key):
+        # a tail batch that doesn't tile the data axis (drop_last=False)
+        # falls back to the unsharded jit instead of crashing the whole run
+        if images.shape[0] % data_dim != 0:
+            if "plain" not in cache:
+                cache["plain"] = jax.jit(pipeline)
+            return cache["plain"](stacked_vars, images, labels, key)
         # build the sharded jit once (shardings need the variables' structure,
         # which we only see at the first call)
         if "fn" not in cache:

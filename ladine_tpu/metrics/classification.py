@@ -73,8 +73,10 @@ def ece(probs: jnp.ndarray, labels: jnp.ndarray, n_bins: int = 10) -> jnp.ndarra
     conf = jnp.max(probs, axis=-1)
     pred = jnp.argmax(probs, axis=-1)
     acc = (pred == labels).astype(jnp.float32)
-    # torchmetrics uses bucketize over linspace boundaries; right-closed bins
-    idx = jnp.clip((conf * n_bins).astype(jnp.int32), 0, n_bins - 1)
+    # torchmetrics bins via bucketize(conf, linspace(0,1,n+1)) - 1: boundary
+    # values fall in the LOWER bin (conf=0.5 with 10 bins -> bin 4), i.e.
+    # idx = ceil(conf * n) - 1 clamped to [0, n-1]
+    idx = jnp.clip(jnp.ceil(conf * n_bins).astype(jnp.int32) - 1, 0, n_bins - 1)
     n = probs.shape[0]
     bin_count = jnp.zeros(n_bins).at[idx].add(1.0)
     bin_conf = jnp.zeros(n_bins).at[idx].add(conf)

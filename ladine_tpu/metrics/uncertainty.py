@@ -58,7 +58,9 @@ def mc_variance_per_class(
 
     Mirrors calculate_variances (:143-174): variance over the S axis
     (unbiased, ddof=1 like torch.var), then averaged over the instances
-    predicted as class c that are / are not truly class c.
+    predicted as class c that are / are not truly class c. Empty
+    (class, correctness) cells are 0.0 — the reference initializes zeros and
+    only fills non-empty groups (:147-173).
     """
     num_classes = samples.shape[-1]
     var = jnp.var(samples, axis=0, ddof=1)  # (B, C)
@@ -68,7 +70,7 @@ def mc_variance_per_class(
         for c in range(num_classes):
             m = (predicted == c) & mask_fn(c)
             count = jnp.sum(m)
-            outs.append(jnp.where(count > 0, jnp.sum(var[:, c] * m) / jnp.maximum(count, 1), jnp.nan))
+            outs.append(jnp.where(count > 0, jnp.sum(var[:, c] * m) / jnp.maximum(count, 1), 0.0))
         return jnp.stack(outs)
 
     correct = group_mean(lambda c: labels == c)

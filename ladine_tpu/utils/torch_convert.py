@@ -29,14 +29,26 @@ def _np(x):
     return np.asarray(x)
 
 
-def load_torch_state_dict(path: str) -> Dict[str, np.ndarray]:
-    """Load a .pth file into a flat numpy state dict. Whole-module pickles
-    are reduced via .state_dict(); plain dicts pass through."""
+def load_torch_state_dict(path: str, key: str = None) -> Dict[str, np.ndarray]:
+    """Load a .pth file into a flat numpy state dict.
+
+    Handles all three reference artifact formats: whole-module pickles
+    (reduced via .state_dict()), plain state dicts, and the diffusion
+    checkpoint wrapper {'noise_estimator': state_dict, 'optimizer': ...,
+    'epoch': ...} (classification_train_separately.py:1121-1126) — pass
+    ``key`` to pick a member explicitly, else the wrapper is auto-unwrapped.
+    """
     import torch
 
     obj = torch.load(path, map_location="cpu", weights_only=False)
     if hasattr(obj, "state_dict"):
         obj = obj.state_dict()
+    if key is not None:
+        obj = obj[key]
+        if hasattr(obj, "state_dict"):
+            obj = obj.state_dict()
+    elif isinstance(obj, dict) and "noise_estimator" in obj:
+        obj = obj["noise_estimator"]
     return {k: _np(v) for k, v in obj.items()}
 
 

@@ -71,6 +71,19 @@ def test_ece_perfect_and_worst():
     assert float(ece(probs, labels_bad)) == pytest.approx(0.999, abs=1e-3)
 
 
+def test_ece_boundary_bin_assignment():
+    """torchmetrics puts boundary confidences in the LOWER bin: conf=0.5
+    with 10 bins -> bin 4 (bucketize semantics)."""
+    # 2 samples at conf exactly 0.5, one correct one wrong -> acc 0.5 in
+    # bin 4 -> |0.5 - 0.5| = 0
+    probs = jnp.array([[0.5, 0.5], [0.5, 0.5]])
+    labels = jnp.array([0, 1])
+    assert float(ece(probs, labels)) == pytest.approx(0.0, abs=1e-6)
+    # all at 0.5 and all correct: |1.0 - 0.5| = 0.5
+    labels2 = jnp.array([0, 0])
+    assert float(ece(probs, labels2)) == pytest.approx(0.5, abs=1e-6)
+
+
 def test_ece_matches_torchmetrics():
     torchmetrics = pytest.importorskip("torchmetrics")
     import torch
