@@ -15,3 +15,4 @@ from ladine_tpu.infer.evaluator import (
     evaluate_ensemble,
     make_eval_pipeline,
 )
+from ladine_tpu.infer.serve import Predictor

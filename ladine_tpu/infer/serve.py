@@ -1,0 +1,168 @@
+"""Serving API: a packaged nested-ensemble predictor.
+
+The reference has no deployment story — inference only exists inside
+``test_atk``'s evaluation loop. For production serving this wraps the whole
+artifact (guidance + stacked members + schedule + calibrated temperature +
+sampler settings) behind one object:
+
+    predictor = Predictor.load("./artifact")        # or from_parts(...)
+    out = predictor.predict(images)                  # NHWC float32 [0,1]
+    out["probs"], out["majority_vote"], out["piw"], out["mc_variance"]
+
+``predict`` is one jitted device program (compiled on first call, cached per
+batch shape); the returned uncertainty is the per-instance prediction-
+interval width and across-sample variance at the predicted class —
+the per-request version of the reference's aggregate PIW/variance metrics.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ladine_tpu.infer.engine import nested_ensemble_sample
+from ladine_tpu.metrics.classification import convert_to_prob, majority_vote
+from ladine_tpu.models.conditional import ConditionalModel
+from ladine_tpu.models.guidance import SEViTGuidance
+from ladine_tpu.ops.diffusion import ddim_timesteps
+from ladine_tpu.ops.schedules import DiffusionSchedule
+
+
+@dataclasses.dataclass
+class Predictor:
+    guidance: SEViTGuidance
+    guidance_vars: Any
+    model: ConditionalModel
+    stacked_vars: Any
+    sched: DiffusionSchedule
+    temperature: float = 0.1737
+    mc_trials: int = 20
+    ddim_steps: int = 50  # serving default: strided sampler (0 = full chain)
+    use_int8: bool = False
+    seed: int = 0
+
+    def __post_init__(self):
+        self._tau = (
+            ddim_timesteps(self.sched.num_timesteps, self.ddim_steps)
+            if self.ddim_steps
+            else None
+        )
+        num_members = self.guidance.num_members
+
+        @jax.jit
+        def _run(gvars, stacked, images, key):
+            heads = self.guidance.apply(gvars, images)
+            y0_hat = jax.nn.softmax(heads.astype(jnp.float32), axis=-1)[:num_members]
+            x_flat = images.reshape(images.shape[0], -1)
+            samples = nested_ensemble_sample(
+                self.model, stacked, x_flat, y0_hat, key, self.sched,
+                mc_trials=self.mc_trials, tau=self._tau, use_int8_eps=self.use_int8,
+            )
+            m, k, b, c = samples.shape
+            flat = samples.reshape(m * k, b, c)
+            probs = jnp.mean(convert_to_prob(flat, self.temperature), axis=0)
+            mv = majority_vote(flat)
+            lo = jnp.quantile(flat, 0.025, axis=0)
+            hi = jnp.quantile(flat, 0.975, axis=0)
+            piw = jnp.take_along_axis(hi - lo, mv[:, None], axis=1)[:, 0]
+            var = jnp.take_along_axis(
+                jnp.var(flat, axis=0, ddof=1), mv[:, None], axis=1
+            )[:, 0]
+            return probs, mv, piw, var
+
+        self._run = _run
+        self._counter = 0
+
+    def predict(self, images: np.ndarray, key: Optional[jax.Array] = None) -> Dict[str, np.ndarray]:
+        """images: (B, H, W, 3) float32 in [0, 1]. Returns numpy outputs."""
+        s = self.guidance.img_size
+        if images.ndim != 4 or images.shape[1:] != (s, s, 3):
+            raise ValueError(
+                f"predict expects images of shape (B, {s}, {s}, 3); got {images.shape}"
+            )
+        if key is None:
+            key = jax.random.fold_in(jax.random.PRNGKey(self.seed), self._counter)
+            self._counter += 1
+        probs, mv, piw, var = self._run(
+            self.guidance_vars, self.stacked_vars, jnp.asarray(images), key
+        )
+        return {
+            "probs": np.asarray(probs),
+            "majority_vote": np.asarray(mv),
+            "piw": np.asarray(piw),
+            "mc_variance": np.asarray(var),
+        }
+
+    # ------------------------------------------------------------ artifact io
+
+    def save(self, path: str) -> None:
+        from ladine_tpu.utils.checkpoint import save_checkpoint
+
+        meta = {
+            "kind": "predictor",
+            "temperature": self.temperature,
+            "mc_trials": self.mc_trials,
+            "ddim_steps": self.ddim_steps,
+            "use_int8": self.use_int8,
+            "guidance": {
+                "num_classes": self.guidance.num_classes,
+                "num_members": self.guidance.num_members,
+                "vit_depth": self.guidance.vit_depth,
+                "img_size": self.guidance.img_size,
+                "patch_size": self.guidance.patch_size,
+                "embed_dim": self.guidance.embed_dim,
+                "num_heads": self.guidance.num_heads,
+                "mlp_hidden_dims": list(self.guidance.mlp_hidden_dims),
+            },
+            "model": {
+                "data_dim": self.model.data_dim,
+                "feature_dim": self.model.feature_dim,
+                "hidden_dim": self.model.hidden_dim,
+                "y_dim": self.model.y_dim,
+                "n_steps": self.model.n_steps,
+                "arch": self.model.arch,
+            },
+            "schedule": {
+                "num_timesteps": self.sched.num_timesteps,
+            },
+        }
+        save_checkpoint(path, {"guidance": self.guidance_vars, "members": self.stacked_vars}, meta)
+        with open(os.path.join(path, "predictor.json"), "w") as f:
+            json.dump(meta, f, indent=2)
+
+    @classmethod
+    def load(cls, path: str, **overrides) -> "Predictor":
+        from ladine_tpu.utils.checkpoint import load_checkpoint
+
+        with open(os.path.join(path, "predictor.json")) as f:
+            meta = json.load(f)
+        g = meta["guidance"]
+        guidance = SEViTGuidance(
+            num_classes=g["num_classes"], num_members=g["num_members"],
+            vit_depth=g["vit_depth"], img_size=g["img_size"], patch_size=g["patch_size"],
+            embed_dim=g["embed_dim"], num_heads=g["num_heads"],
+            mlp_hidden_dims=tuple(g["mlp_hidden_dims"]),
+        )
+        m = meta["model"]
+        model = ConditionalModel(
+            data_dim=m["data_dim"], feature_dim=m["feature_dim"],
+            hidden_dim=m["hidden_dim"], y_dim=m["y_dim"], n_steps=m["n_steps"],
+            arch=m.get("arch", "linear"),
+        )
+        sched = DiffusionSchedule.create(num_timesteps=meta["schedule"]["num_timesteps"])
+        tree, _ = load_checkpoint(path)
+        kwargs = dict(
+            temperature=meta["temperature"], mc_trials=meta["mc_trials"],
+            ddim_steps=meta["ddim_steps"], use_int8=meta["use_int8"],
+        )
+        kwargs.update(overrides)
+        return cls(
+            guidance=guidance, guidance_vars=tree["guidance"],
+            model=model, stacked_vars=tree["members"], sched=sched, **kwargs,
+        )

@@ -1,0 +1,75 @@
+"""Serving API: Predictor predict/save/load roundtrip."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ladine_tpu.infer import Predictor, stack_members
+from ladine_tpu.models import ConditionalModel, SEViTGuidance
+from ladine_tpu.ops import DiffusionSchedule
+
+
+@pytest.fixture(scope="module")
+def predictor():
+    guidance = SEViTGuidance(
+        num_classes=2, num_members=3, vit_depth=3,
+        img_size=16, patch_size=8, embed_dim=16, num_heads=2, mlp_hidden_dims=(16, 8, 8),
+    )
+    gvars = guidance.init(jax.random.PRNGKey(0), jnp.zeros((1, 16, 16, 3)))
+    model = ConditionalModel(data_dim=768, feature_dim=8, hidden_dim=8, y_dim=2, n_steps=1001)
+    members = [
+        model.init(jax.random.PRNGKey(5 + i), jnp.zeros((1, 768)), jnp.zeros((1, 2)),
+                   jnp.asarray(0), jnp.full((1, 2), 0.5))
+        for i in range(3)
+    ]
+    sched = DiffusionSchedule.create("linear", 1000, 1e-4, 0.02)
+    return Predictor(
+        guidance=guidance, guidance_vars=gvars, model=model,
+        stacked_vars=stack_members(members), sched=sched,
+        temperature=0.2, mc_trials=2, ddim_steps=5,
+    )
+
+
+def test_predict_outputs(predictor):
+    images = np.random.default_rng(0).random((4, 16, 16, 3)).astype(np.float32)
+    out = predictor.predict(images)
+    assert out["probs"].shape == (4, 2)
+    np.testing.assert_allclose(out["probs"].sum(-1), 1.0, rtol=1e-5)
+    assert out["majority_vote"].shape == (4,)
+    assert set(np.unique(out["majority_vote"])) <= {0, 1}
+    assert (out["piw"] >= 0).all()
+    assert (out["mc_variance"] >= 0).all()
+
+
+def test_predict_auto_key_advances(predictor):
+    images = np.random.default_rng(1).random((2, 16, 16, 3)).astype(np.float32)
+    a = predictor.predict(images)
+    b = predictor.predict(images)
+    # MC sampling: consecutive calls draw fresh noise
+    assert not np.allclose(a["probs"], b["probs"])
+    # explicit key makes it reproducible
+    c = predictor.predict(images, key=jax.random.PRNGKey(42))
+    d = predictor.predict(images, key=jax.random.PRNGKey(42))
+    np.testing.assert_allclose(c["probs"], d["probs"])
+
+
+def test_save_load_roundtrip(predictor, tmp_path):
+    path = str(tmp_path / "artifact")
+    predictor.save(path)
+    loaded = Predictor.load(path)
+    assert loaded.temperature == predictor.temperature
+    assert loaded.mc_trials == predictor.mc_trials
+    images = np.random.default_rng(2).random((2, 16, 16, 3)).astype(np.float32)
+    key = jax.random.PRNGKey(7)
+    a = predictor.predict(images, key=key)
+    b = loaded.predict(images, key=key)
+    np.testing.assert_allclose(a["probs"], b["probs"], rtol=1e-4, atol=1e-5)
+
+
+def test_load_with_overrides(predictor, tmp_path):
+    path = str(tmp_path / "artifact2")
+    predictor.save(path)
+    loaded = Predictor.load(path, mc_trials=4, temperature=0.5)
+    assert loaded.mc_trials == 4
+    assert loaded.temperature == 0.5
