@@ -5,7 +5,7 @@ The reference has no deployment story — inference only exists inside
 artifact (guidance + stacked members + schedule + calibrated temperature +
 sampler settings) behind one object:
 
-    predictor = Predictor.load("./artifact")        # or from_parts(...)
+    predictor = Predictor.load("./artifact")        # or Predictor(...) from parts
     out = predictor.predict(images)                  # NHWC float32 [0,1]
     out["probs"], out["majority_vote"], out["piw"], out["mc_variance"]
 
@@ -18,8 +18,6 @@ the per-request version of the reference's aggregate PIW/variance metrics.
 from __future__ import annotations
 
 import dataclasses
-import json
-import os
 from typing import Any, Dict, Optional
 
 import jax
@@ -77,7 +75,11 @@ class Predictor:
             return probs, mv, piw, var
 
         self._run = _run
-        self._counter = 0
+        # itertools.count: atomic under the GIL — concurrent predict() calls
+        # in a threaded server must not reuse a key
+        import itertools
+
+        self._counter = itertools.count()
 
     def predict(self, images: np.ndarray, key: Optional[jax.Array] = None) -> Dict[str, np.ndarray]:
         """images: (B, H, W, 3) float32 in [0, 1]. Returns numpy outputs."""
@@ -87,8 +89,7 @@ class Predictor:
                 f"predict expects images of shape (B, {s}, {s}, 3); got {images.shape}"
             )
         if key is None:
-            key = jax.random.fold_in(jax.random.PRNGKey(self.seed), self._counter)
-            self._counter += 1
+            key = jax.random.fold_in(jax.random.PRNGKey(self.seed), next(self._counter))
         probs, mv, piw, var = self._run(
             self.guidance_vars, self.stacked_vars, jnp.asarray(images), key
         )
@@ -127,21 +128,27 @@ class Predictor:
                 "y_dim": self.model.y_dim,
                 "n_steps": self.model.n_steps,
                 "arch": self.model.arch,
-            },
-            "schedule": {
-                "num_timesteps": self.sched.num_timesteps,
+                "guidance": self.model.guidance,
             },
         }
-        save_checkpoint(path, {"guidance": self.guidance_vars, "members": self.stacked_vars}, meta)
-        with open(os.path.join(path, "predictor.json"), "w") as f:
-            json.dump(meta, f, indent=2)
+        # the schedule arrays are persisted verbatim (not just num_timesteps):
+        # a cosine/non-default-beta artifact must not silently reload as
+        # linear 1e-4..0.02
+        save_checkpoint(
+            path,
+            {
+                "guidance": self.guidance_vars,
+                "members": self.stacked_vars,
+                "schedule": self.sched._asdict(),
+            },
+            meta,
+        )
 
     @classmethod
     def load(cls, path: str, **overrides) -> "Predictor":
         from ladine_tpu.utils.checkpoint import load_checkpoint
 
-        with open(os.path.join(path, "predictor.json")) as f:
-            meta = json.load(f)
+        tree, meta = load_checkpoint(path)
         g = meta["guidance"]
         guidance = SEViTGuidance(
             num_classes=g["num_classes"], num_members=g["num_members"],
@@ -153,10 +160,11 @@ class Predictor:
         model = ConditionalModel(
             data_dim=m["data_dim"], feature_dim=m["feature_dim"],
             hidden_dim=m["hidden_dim"], y_dim=m["y_dim"], n_steps=m["n_steps"],
-            arch=m.get("arch", "linear"),
+            arch=m.get("arch", "linear"), guidance=m.get("guidance", True),
         )
-        sched = DiffusionSchedule.create(num_timesteps=meta["schedule"]["num_timesteps"])
-        tree, _ = load_checkpoint(path)
+        sched = DiffusionSchedule(
+            **{k: jnp.asarray(v) for k, v in tree["schedule"].items()}
+        )
         kwargs = dict(
             temperature=meta["temperature"], mc_trials=meta["mc_trials"],
             ddim_steps=meta["ddim_steps"], use_int8=meta["use_int8"],

@@ -33,17 +33,37 @@ def quantize_weight(w: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
     return w_q, scale.astype(jnp.float32)
 
 
-def int8_matmul(x: jnp.ndarray, w_q: jnp.ndarray, w_scale: jnp.ndarray) -> jnp.ndarray:
+def int8_matmul(
+    x: jnp.ndarray,
+    w_q: jnp.ndarray,
+    w_scale: jnp.ndarray,
+    w_colsum: jnp.ndarray = None,
+) -> jnp.ndarray:
     """(R, K) float @ int8 (K, N) -> (R, N) fp32, dynamic per-row activation
-    quantization."""
+    quantization.
+
+    With ``w_colsum`` (per-channel sum of w_q, precomputed) the activation is
+    treated as NON-NEGATIVE and quantized with a fixed zero-point of 127:
+    h ~ (q + 127) * s with q in [-127, 127], doubling the resolution for
+    softplus outputs (symmetric quant would waste the sign half of int8):
+    x @ W = s * ((q @ W_q) + 127 * colsum(W_q)) * w_scale.
+    """
     x = x.astype(jnp.float32)
-    x_scale = jnp.max(jnp.abs(x), axis=1, keepdims=True) / 127.0
-    x_scale = jnp.maximum(x_scale, 1e-8)
-    x_q = jnp.clip(jnp.round(x / x_scale), -127, 127).astype(jnp.int8)
-    acc = jax.lax.dot_general(
-        x_q, w_q, (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32
-    )
-    return acc.astype(jnp.float32) * x_scale * w_scale[None, :]
+    if w_colsum is None:
+        x_scale = jnp.max(jnp.abs(x), axis=1, keepdims=True) / 127.0
+        x_scale = jnp.maximum(x_scale, 1e-8)
+        x_q = jnp.clip(jnp.round(x / x_scale), -127, 127).astype(jnp.int8)
+        acc = jax.lax.dot_general(
+            x_q, w_q, (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32
+        ).astype(jnp.float32)
+    else:
+        x_scale = jnp.max(x, axis=1, keepdims=True) / 254.0
+        x_scale = jnp.maximum(x_scale, 1e-8)
+        x_q = jnp.clip(jnp.round(x / x_scale) - 127.0, -127, 127).astype(jnp.int8)
+        acc = jax.lax.dot_general(
+            x_q, w_q, (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32
+        ).astype(jnp.float32) + 127.0 * w_colsum[None, :]
+    return acc * x_scale * w_scale[None, :]
 
 
 def quantize_member(variables: Any) -> Any:
@@ -53,7 +73,9 @@ def quantize_member(variables: Any) -> Any:
     q = {}
     for name in ("lin2", "lin3"):
         w = params[name]["TorchLinear_0"]["Dense_0"]["kernel"]
-        q[name] = quantize_weight(jnp.asarray(w, jnp.float32))
+        w_q, scale = quantize_weight(jnp.asarray(w, jnp.float32))
+        colsum = jnp.sum(w_q.astype(jnp.int32), axis=0).astype(jnp.float32)
+        q[name] = (w_q, scale, colsum)
     return {**variables, "int8": q}
 
 
@@ -74,12 +96,15 @@ def int8_eps(
     h = jax.nn.softplus(jnp.dot(y_in, w1, preferred_element_type=jnp.float32) * a1 + c1)
     h = f.astype(jnp.float32) * h
 
-    for name, bn in (("lin2", "unetnorm2"), ("lin3", "unetnorm3")):
+    for i, (name, bn) in enumerate((("lin2", "unetnorm2"), ("lin3", "unetnorm3"))):
         # _fold's (a, c) absorb the timestep gate, the linear bias and the
-        # eval BN, so the int8 matmul only needs to produce x @ W
+        # eval BN, so the int8 matmul only needs to produce x @ W.
+        # lin2's input (f (.) softplus) can be negative -> symmetric quant;
+        # lin3's input is a softplus output -> non-negative zero-point-127
+        # quant for double the resolution.
         _, a, c = _fold(params[name], params[bn], stats[bn], t)
-        w_q, w_scale = qvars["int8"][name]
-        z = int8_matmul(h, w_q, w_scale) * a + c
+        w_q, w_scale, w_colsum = qvars["int8"][name]
+        z = int8_matmul(h, w_q, w_scale, w_colsum=w_colsum if i == 1 else None) * a + c
         h = jax.nn.softplus(z)
 
     dense4 = params["lin4"]["Dense_0"]

@@ -67,6 +67,49 @@ def test_save_load_roundtrip(predictor, tmp_path):
     np.testing.assert_allclose(a["probs"], b["probs"], rtol=1e-4, atol=1e-5)
 
 
+def test_save_load_preserves_nondefault_schedule(tmp_path):
+    """A cosine-schedule artifact must not silently reload as linear."""
+    guidance = SEViTGuidance(
+        num_classes=2, num_members=2, vit_depth=2,
+        img_size=16, patch_size=8, embed_dim=16, num_heads=2, mlp_hidden_dims=(8, 8, 8),
+    )
+    gvars = guidance.init(jax.random.PRNGKey(0), jnp.zeros((1, 16, 16, 3)))
+    model = ConditionalModel(data_dim=768, feature_dim=8, hidden_dim=8, y_dim=2, n_steps=21)
+    members = [
+        model.init(jax.random.PRNGKey(i), jnp.zeros((1, 768)), jnp.zeros((1, 2)),
+                   jnp.asarray(0), jnp.full((1, 2), 0.5))
+        for i in range(2)
+    ]
+    sched = DiffusionSchedule.create("cosine", 20)
+    p = Predictor(guidance=guidance, guidance_vars=gvars, model=model,
+                  stacked_vars=stack_members(members), sched=sched,
+                  mc_trials=2, ddim_steps=4)
+    path = str(tmp_path / "cosine_artifact")
+    p.save(path)
+    q = Predictor.load(path)
+    np.testing.assert_allclose(np.asarray(q.sched.betas), np.asarray(sched.betas), rtol=1e-6)
+    images = np.random.default_rng(0).random((2, 16, 16, 3)).astype(np.float32)
+    key = jax.random.PRNGKey(3)
+    np.testing.assert_allclose(p.predict(images, key=key)["probs"],
+                               q.predict(images, key=key)["probs"], rtol=1e-4, atol=1e-5)
+
+
+def test_int8_matmul_nonneg_mode():
+    from ladine_tpu.kernels.int8 import int8_matmul, quantize_weight
+
+    x = jax.nn.softplus(jax.random.normal(jax.random.PRNGKey(0), (8, 64)))  # >= 0
+    w = jax.random.normal(jax.random.PRNGKey(1), (64, 32)) * 0.1
+    w_q, scale = quantize_weight(w)
+    colsum = jnp.sum(w_q.astype(jnp.int32), axis=0).astype(jnp.float32)
+    sym = int8_matmul(x, w_q, scale)
+    asym = int8_matmul(x, w_q, scale, w_colsum=colsum)
+    ref = np.asarray(x) @ np.asarray(w)
+    err_sym = np.abs(np.asarray(sym) - ref).mean()
+    err_asym = np.abs(np.asarray(asym) - ref).mean()
+    # the zero-point-127 scheme has ~2x resolution on non-negative input
+    assert err_asym < err_sym
+
+
 def test_load_with_overrides(predictor, tmp_path):
     path = str(tmp_path / "artifact2")
     predictor.save(path)
