@@ -13,3 +13,11 @@ from ladine_tpu.data.imagefolder import (
     load_split,
 )
 from ladine_tpu.data.synthetic import Gaussians, GaussianMixture1D, add_gaussian_noise
+from ladine_tpu.data.arrays import (
+    ArrayDataset,
+    compose,
+    normalize,
+    random_rotate,
+    repeat_channels,
+    resize_to,
+)
