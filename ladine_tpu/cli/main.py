@@ -60,6 +60,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--pretrain_guidance", type=int, default=0,
                    help="CE-pretrain the guidance heads for N steps before "
                         "diffusion training (reference aux_cls.pre_train path)")
+    p.add_argument("--export_predictor", action="store_true",
+                   help="after --train: package the trained ensemble as a "
+                        "serving Predictor artifact in the log dir")
     p.add_argument("--eval_guidance", action="store_true",
                    help="report guidance majority-vote accuracy and exit")
     # diffusion overrides
@@ -184,8 +187,26 @@ def main(argv=None) -> int:
                               resume_from=args.resume_training,
                               pretrain_guidance_steps=args.pretrain_guidance,
                               member_idx=args.mlp_idx)
-        print(json.dumps({"mode": "train", "best_accuracy": result["best_accuracy"],
-                          "steps": result["steps"]}))
+        summary = {"mode": "train", "best_accuracy": result["best_accuracy"],
+                   "steps": result["steps"]}
+        if args.export_predictor:
+            from ladine_tpu.infer import Predictor
+
+            variables = jax.vmap(
+                lambda s: {"params": s.params, "batch_stats": s.batch_stats}
+            )(result["states"])
+            predictor = Predictor(
+                guidance=runner.guidance, guidance_vars=result["guidance"],
+                model=runner.cond, stacked_vars=variables, sched=runner.sched,
+                temperature=runner.temperature,
+                mc_trials=cfg.testing.mc_trials,
+                ddim_steps=cfg.diffusion.ddim_steps or 50,
+                head_indices=(args.mlp_idx,) if args.mlp_idx is not None else None,
+            )
+            artifact = os.path.join(log_dir, "predictor_artifact")
+            predictor.save(artifact)
+            summary["predictor_artifact"] = artifact
+        print(json.dumps(summary))
         return 0
 
     if args.tune_T and not args.calib:

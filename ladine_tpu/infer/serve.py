@@ -44,6 +44,9 @@ class Predictor:
     ddim_steps: int = 50  # serving default: strided sampler (0 = full chain)
     use_int8: bool = False
     seed: int = 0
+    # which guidance heads condition the stacked members; None = heads
+    # 0..n_stacked-1 (set to e.g. (2,) for a single-member --mlp_idx artifact)
+    head_indices: Optional[tuple] = None
 
     def __post_init__(self):
         self._tau = (
@@ -51,12 +54,19 @@ class Predictor:
             if self.ddim_steps
             else None
         )
-        num_members = self.guidance.num_members
+        n_stacked = jax.tree.leaves(self.stacked_vars)[0].shape[0]
+        idx = jnp.asarray(
+            self.head_indices if self.head_indices is not None else range(n_stacked)
+        )
+        if idx.shape[0] != n_stacked:
+            raise ValueError(
+                f"head_indices {self.head_indices} must match the {n_stacked} stacked members"
+            )
 
         @jax.jit
         def _run(gvars, stacked, images, key):
             heads = self.guidance.apply(gvars, images)
-            y0_hat = jax.nn.softmax(heads.astype(jnp.float32), axis=-1)[:num_members]
+            y0_hat = jax.nn.softmax(heads.astype(jnp.float32), axis=-1)[idx]
             x_flat = images.reshape(images.shape[0], -1)
             samples = nested_ensemble_sample(
                 self.model, stacked, x_flat, y0_hat, key, self.sched,
@@ -111,6 +121,7 @@ class Predictor:
             "mc_trials": self.mc_trials,
             "ddim_steps": self.ddim_steps,
             "use_int8": self.use_int8,
+            "head_indices": list(self.head_indices) if self.head_indices else None,
             "guidance": {
                 "num_classes": self.guidance.num_classes,
                 "num_members": self.guidance.num_members,
@@ -165,9 +176,11 @@ class Predictor:
         sched = DiffusionSchedule(
             **{k: jnp.asarray(v) for k, v in tree["schedule"].items()}
         )
+        hi = meta.get("head_indices")
         kwargs = dict(
             temperature=meta["temperature"], mc_trials=meta["mc_trials"],
             ddim_steps=meta["ddim_steps"], use_int8=meta["use_int8"],
+            head_indices=tuple(hi) if hi else None,
         )
         kwargs.update(overrides)
         return cls(
