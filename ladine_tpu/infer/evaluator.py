@@ -33,6 +33,7 @@ from ladine_tpu.metrics.classification import (
     ensemble_confidence,
     majority_vote,
     nll,
+    reliability_bins,
 )
 from ladine_tpu.metrics.uncertainty import mc_variance_per_class, piw_per_class
 from ladine_tpu.models.conditional import ConditionalModel
@@ -175,6 +176,7 @@ def evaluate_ensemble(
 
     all_samples = []
     all_labels = []
+    m = None
     for i, (images, labels) in enumerate(batches):
         key, sub = jax.random.split(key)
         samples = pipeline(stacked_vars, jnp.asarray(images), jnp.asarray(labels), sub)
@@ -182,14 +184,21 @@ def evaluate_ensemble(
         all_samples.append(np.asarray(samples.reshape(m * k, b, c), np.float32))
         all_labels.append(np.asarray(labels))
 
-    samples = np.concatenate(all_samples, axis=1)  # (S, N, C)
+    samples = np.concatenate(all_samples, axis=1)  # (S, N, C), member-major
     labels = np.concatenate(all_labels)
 
-    return compute_report(samples, labels, cfg.temperature)
+    return compute_report(samples, labels, cfg.temperature, num_members=m)
 
 
-def compute_report(samples: np.ndarray, labels: np.ndarray, temperature: float) -> Dict[str, Any]:
-    """The reference's aggregate metric block (:810-838) over cached samples."""
+def compute_report(
+    samples: np.ndarray,
+    labels: np.ndarray,
+    temperature: float,
+    num_members: Optional[int] = None,
+) -> Dict[str, Any]:
+    """The reference's aggregate metric block (:810-838) over cached samples,
+    plus reliability-diagram bins and (when ``num_members`` is given and the
+    sample axis is members*trials ordered) per-member vote accuracy."""
     samples_j = jnp.asarray(samples)
     labels_j = jnp.asarray(labels)
     mv = majority_vote(samples_j)
@@ -198,7 +207,24 @@ def compute_report(samples: np.ndarray, labels: np.ndarray, temperature: float) 
     mv_acc = float(jnp.mean((mv == labels_j).astype(jnp.float32)) * 100.0)
     piw_c, piw_i = piw_per_class(samples_j, mv, labels_j)
     var_c, var_i = mc_variance_per_class(samples_j, mv, labels_j)
+    count, bin_conf, bin_acc = reliability_bins(conf, labels_j)
+    extra: Dict[str, Any] = {
+        "reliability": {
+            "count": np.asarray(count).tolist(),
+            "confidence": np.asarray(bin_conf).round(4).tolist(),
+            "accuracy": np.asarray(bin_acc).round(4).tolist(),
+        }
+    }
+    if num_members and samples.shape[0] % num_members == 0:
+        trials = samples.shape[0] // num_members
+        per_member = samples_j.reshape(num_members, trials, *samples.shape[1:])
+        accs = [
+            float(jnp.mean((majority_vote(per_member[m]) == labels_j).astype(jnp.float32)) * 100.0)
+            for m in range(num_members)
+        ]
+        extra["per_member_mv_accuracy"] = [round(a, 2) for a in accs]
     return {
+        **extra,
         "num_samples": int(samples.shape[0]),
         "num_instances": int(labels.shape[0]),
         "majority_vote_accuracy": mv_acc,

@@ -87,6 +87,20 @@ def ece(probs: jnp.ndarray, labels: jnp.ndarray, n_bins: int = 10) -> jnp.ndarra
     return jnp.sum(jnp.abs(mean_acc - mean_conf) * bin_count / n)
 
 
+def reliability_bins(probs: jnp.ndarray, labels: jnp.ndarray, n_bins: int = 10):
+    """Per-bin (count, mean confidence, accuracy) — the data behind the ECE /
+    a reliability diagram. Same binning as :func:`ece`."""
+    conf = jnp.max(probs, axis=-1)
+    pred = jnp.argmax(probs, axis=-1)
+    acc = (pred == labels).astype(jnp.float32)
+    idx = jnp.clip(jnp.ceil(conf * n_bins).astype(jnp.int32) - 1, 0, n_bins - 1)
+    count = jnp.zeros(n_bins).at[idx].add(1.0)
+    sum_conf = jnp.zeros(n_bins).at[idx].add(conf)
+    sum_acc = jnp.zeros(n_bins).at[idx].add(acc)
+    denom = jnp.maximum(count, 1)
+    return count, sum_conf / denom, sum_acc / denom
+
+
 def nll(probs: jnp.ndarray, labels: jnp.ndarray, eps: float = 0.0) -> jnp.ndarray:
     """Mean negative log-likelihood of the true class (reference :400-411
     takes log of probabilities directly; eps guards exact zeros)."""
