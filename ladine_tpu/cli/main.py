@@ -60,6 +60,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--pretrain_guidance", type=int, default=0,
                    help="CE-pretrain the guidance heads for N steps before "
                         "diffusion training (reference aux_cls.pre_train path)")
+    p.add_argument("--joint_train", action="store_true",
+                   help="CE-update the guidance heads alongside every diffusion "
+                        "step (reference aux_cls.joint_train path)")
     p.add_argument("--export_predictor", action="store_true",
                    help="after --train: package the trained ensemble as a "
                         "serving Predictor artifact in the log dir")
@@ -186,7 +189,8 @@ def main(argv=None) -> int:
                               epochs=cfg.training.n_epochs,
                               resume_from=args.resume_training,
                               pretrain_guidance_steps=args.pretrain_guidance,
-                              member_idx=args.mlp_idx)
+                              member_idx=args.mlp_idx,
+                              joint_train=args.joint_train)
         summary = {"mode": "train", "best_accuracy": result["best_accuracy"],
                    "steps": result["steps"]}
         if args.export_predictor:

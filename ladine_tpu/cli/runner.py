@@ -187,7 +187,8 @@ class Runner:
               epochs: Optional[int] = None,
               resume_from: Optional[str] = None,
               pretrain_guidance_steps: int = 0,
-              member_idx: Optional[int] = None) -> Dict[str, Any]:
+              member_idx: Optional[int] = None,
+              joint_train: bool = False) -> Dict[str, Any]:
         """Train ALL diffusion members concurrently (reference: one member
         per process invocation, train.sh), or just ``member_idx`` — the
         reference's per-member MLP_IDX workflow. ``resume_from`` restores
@@ -236,6 +237,23 @@ class Runner:
             self.logger.info(
                 f"resumed from {resume_from} at epoch {start_epoch} (best acc {best_acc:.2f})"
             )
+        if joint_train:
+            # the reference's aux_cls.joint_train path: CE-update the
+            # guidance alongside every diffusion step
+            import optax
+
+            from ladine_tpu.train import make_joint_train_step
+
+            aux_tx = make_optimizer(c.aux_optim.optimizer, c.aux_optim.lr,
+                                    c.aux_optim.weight_decay, c.aux_optim.beta1,
+                                    c.aux_optim.eps, grad_clip=c.aux_optim.grad_clip)
+            gparams = gvars["params"]
+            aux_opt = aux_tx.init(gparams)
+            joint_step = jax.jit(make_joint_train_step(
+                self.guidance, self.cond, tx, aux_tx, self.sched,
+                n_train_members, c.data.num_classes, c.model.ema_rate,
+                head_indices=head_indices,
+            ))
         raw_step = make_full_train_step(
             self.guidance, gvars, self.cond, tx, self.sched,
             n_train_members, c.data.num_classes, c.model.ema_rate,
@@ -277,7 +295,14 @@ class Runner:
         for epoch in range(start_epoch, epochs):
             for images, labels in self.batches("train", c.training.batch_size, shuffle=True, seed=epoch):
                 key, sub = jax.random.split(key)
-                states, losses = step_fn(states, jnp.asarray(images), jnp.asarray(labels), sub)
+                if joint_train:
+                    states, gparams, aux_opt, aux_loss, losses = joint_step(
+                        states, gparams, aux_opt, jnp.asarray(images),
+                        jnp.asarray(labels), sub,
+                    )
+                    gvars = {**gvars, "params": gparams}
+                else:
+                    states, losses = step_fn(states, jnp.asarray(images), jnp.asarray(labels), sub)
                 global_step += 1
                 if global_step % max(1, c.training.logging_freq // 10) == 0 or global_step == 1:
                     l = np.asarray(losses)

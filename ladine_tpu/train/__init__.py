@@ -10,6 +10,7 @@ from ladine_tpu.train.diffusion_trainer import (
     create_member_state,
     create_member_states,
     make_full_train_step,
+    make_joint_train_step,
     make_member_step,
     make_multi_member_step,
 )

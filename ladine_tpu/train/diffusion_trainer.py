@@ -153,6 +153,51 @@ def make_multi_member_step(
     return step
 
 
+def make_joint_train_step(
+    guidance: SEViTGuidance,
+    model: ConditionalModel,
+    tx: optax.GradientTransformation,
+    aux_tx: optax.GradientTransformation,
+    sched: DiffusionSchedule,
+    num_members: int,
+    num_classes: int,
+    ema_rate: float = 0.9999,
+    head_indices: Optional[Tuple[int, ...]] = None,
+) -> Callable:
+    """Joint training: diffusion members + the guidance classifier together.
+
+    The reference carries this path (``nonlinear_guidance_model_train_step``,
+    classification_train_separately.py:381-391, behind the live-disabled
+    aux_cls.joint_train flag): each batch takes a CE step on all K+1 guidance
+    heads with ``aux_tx`` and a diffusion step on every member conditioned on
+    the (stop-gradient) updated guidance.
+
+    (state_tuple, images, labels, key) -> (state_tuple, (aux_loss, losses))
+    where state_tuple = (member_states, guidance_params, aux_opt_state).
+    """
+    multi_step = make_multi_member_step(model, tx, sched, ema_rate)
+    idx = jnp.asarray(head_indices if head_indices is not None else range(num_members))
+
+    def aux_loss_fn(gparams, images, labels):
+        heads = guidance.apply({"params": gparams}, images)  # (K+1, B, C)
+        logp = jax.nn.log_softmax(heads, axis=-1)
+        return -jnp.mean(jnp.take_along_axis(logp, labels[None, :, None], axis=-1))
+
+    def step(states, gparams, aux_opt_state, images, labels, key):
+        aux_loss, grads = jax.value_and_grad(aux_loss_fn)(gparams, images, labels)
+        updates, aux_opt_state = aux_tx.update(grads, aux_opt_state, gparams)
+        gparams = optax.apply_updates(gparams, updates)
+
+        heads = guidance.apply({"params": gparams}, images)
+        y0_hat = jax.lax.stop_gradient(jax.nn.softmax(heads, axis=-1)[idx])
+        y0, _ = one_hot_and_prototype(labels, num_classes)
+        x_flat = images.reshape(images.shape[0], -1)
+        states, losses = multi_step(states, x_flat, y0, y0_hat, key)
+        return states, gparams, aux_opt_state, aux_loss, losses
+
+    return step
+
+
 def make_full_train_step(
     guidance: SEViTGuidance,
     guidance_vars: Any,

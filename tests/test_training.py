@@ -134,6 +134,38 @@ def test_full_train_step_with_guidance():
     # guidance is frozen: gvars unchanged by construction (not in state)
 
 
+def test_joint_train_step():
+    """Joint path: guidance CE improves AND diffusion members update."""
+    from ladine_tpu.train import make_joint_train_step
+
+    guidance = SEViTGuidance(
+        num_classes=2, num_members=3, vit_depth=3,
+        img_size=16, patch_size=8, embed_dim=16, num_heads=2, mlp_hidden_dims=(16, 8, 8),
+    )
+    images = jnp.stack([jnp.zeros((16, 16, 3)), jnp.ones((16, 16, 3))] * 2)
+    labels = jnp.array([0, 1, 0, 1])
+    gparams = guidance.init(jax.random.PRNGKey(0), images)["params"]
+    model = ConditionalModel(data_dim=16 * 16 * 3, feature_dim=8, hidden_dim=8, y_dim=2, n_steps=6)
+    sched = DiffusionSchedule.create("linear", 5, 1e-4, 0.02)
+    tx = make_optimizer("Adam", 1e-3)
+    import optax
+
+    aux_tx = optax.adam(1e-3)
+    aux_opt = aux_tx.init(gparams)
+    states = create_member_states(model, jax.random.PRNGKey(1), tx, 3, batch_size=4)
+    step = jax.jit(make_joint_train_step(guidance, model, tx, aux_tx, sched, 3, 2))
+    first_aux = None
+    for i in range(30):
+        states, gparams, aux_opt, aux_loss, losses = step(
+            states, gparams, aux_opt, images, labels, jax.random.PRNGKey(i)
+        )
+        if first_aux is None:
+            first_aux = float(aux_loss)
+    assert float(aux_loss) < first_aux  # guidance learned
+    assert int(states.step[0]) == 30  # members advanced
+    assert np.isfinite(np.asarray(losses)).all()
+
+
 def test_vit_train_step_learns():
     vit = ViT(num_classes=2, img_size=16, patch_size=8, embed_dim=16, depth=2, num_heads=2)
     tx = make_optimizer("AdamW", 1e-3, weight_decay=0.1)
