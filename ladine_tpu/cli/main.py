@@ -49,6 +49,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--cached_samples", type=str, default=None,
                    help="with --calib: recalibrate from a samples.npz dump "
                         "WITHOUT re-running inference")
+    p.add_argument("--make_plots", action="store_true",
+                   help="with --test/--calib: write reliability / PIW / qq "
+                        "figures to the log dir (reference C22 figure dumps)")
     p.add_argument("--demo", action="store_true", help="tiny models + synthetic data")
     p.add_argument("--mlp_idx", type=int, default=None,
                    help="train only this member (reference semantics); default all")
@@ -231,6 +234,12 @@ def main(argv=None) -> int:
             report["nll_tuned_temperature"] = tune_temperature_nll(
                 dump["samples"], dump["labels"]
             )
+        report["samples"] = dump["samples"]
+        if args.make_plots:
+            from ladine_tpu.utils.plots import save_evaluation_plots
+
+            for pth in save_evaluation_plots(report, log_dir):
+                print(f"wrote {pth}", file=sys.stderr)
         printable = {k: v for k, v in report.items() if k not in ("samples", "labels")}
         result = _json_sanitize({"mode": "calib_cached", **printable})
         with open(os.path.join(log_dir, "report.json"), "w") as f:
@@ -282,6 +291,11 @@ def main(argv=None) -> int:
                 os.path.join(log_dir, "samples.npz"),
                 samples=report["samples"], labels=report["labels"],
             )
+        if args.make_plots:
+            from ladine_tpu.utils.plots import save_evaluation_plots
+
+            for pth in save_evaluation_plots(report, log_dir):
+                print(f"wrote {pth}", file=sys.stderr)
         printable = {k: v for k, v in report.items() if k not in ("samples", "labels")}
         result = _json_sanitize({"mode": "test" if args.test else "calib", **printable})
         with open(os.path.join(log_dir, "report.json"), "w") as f:
