@@ -199,11 +199,25 @@ def main(argv=None) -> int:
         if args.export_predictor:
             from ladine_tpu.infer import Predictor
 
+            states, gvars = result["states"], result["guidance"]
+            if result.get("best_ckpt_path"):
+                # export the BEST checkpoint, not the final-epoch weights —
+                # the reported best_accuracy belongs to that checkpoint
+                from ladine_tpu.utils import load_checkpoint
+
+                tree, _ = load_checkpoint(
+                    result["best_ckpt_path"],
+                    target={"states": states, "guidance": gvars},
+                )
+                states, gvars = tree["states"], tree["guidance"]
+            else:
+                print("warning: no best checkpoint saved; exporting final-epoch "
+                      "weights", file=sys.stderr)
             variables = jax.vmap(
                 lambda s: {"params": s.params, "batch_stats": s.batch_stats}
-            )(result["states"])
+            )(states)
             predictor = Predictor(
-                guidance=runner.guidance, guidance_vars=result["guidance"],
+                guidance=runner.guidance, guidance_vars=gvars,
                 model=runner.cond, stacked_vars=variables, sched=runner.sched,
                 temperature=runner.temperature,
                 mc_trials=cfg.testing.mc_trials,
@@ -234,7 +248,6 @@ def main(argv=None) -> int:
             report["nll_tuned_temperature"] = tune_temperature_nll(
                 dump["samples"], dump["labels"]
             )
-        report["samples"] = dump["samples"]
         if args.make_plots:
             from ladine_tpu.utils.plots import save_evaluation_plots
 
@@ -259,6 +272,9 @@ def main(argv=None) -> int:
                 print(f"unknown sweep param {param!r}; one of {sorted(field_map)}",
                       file=sys.stderr)
                 return 2
+            if args.make_plots or args.save_samples:
+                print("note: --make_plots/--save_samples are not applied in "
+                      "--sweep mode (per-severity reports only)", file=sys.stderr)
             caster = int if param == "lowres" else float
             rows = []
             import dataclasses as _dc

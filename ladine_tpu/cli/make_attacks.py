@@ -57,6 +57,11 @@ def main(argv=None) -> int:
     from ladine_tpu.utils import load_checkpoint, setup_logging
 
     logger = setup_logging(None)
+    if not args.guidance_ckpt and not args.demo:
+        build_parser().error(
+            "--guidance_ckpt is required (attacking a randomly initialized "
+            "ViT produces meaningless adversarial datasets); use --demo for smoke runs"
+        )
     img = args.image_size
     if args.demo:
         vit = ViT(num_classes=2, img_size=img, patch_size=max(img // 2, 8),
@@ -69,13 +74,27 @@ def main(argv=None) -> int:
         vparams = tree["params"]
         logger.info(f"attacking ViT from {args.guidance_ckpt}")
 
-    attack = jax.jit(
-        make_attack(args.attack_name, args.epsilon,
-                    lambda x: vit.apply({"params": vparams}, x))
-    )
+    # attacks operate in [0,1] pixel space (bounds + the saved images), but a
+    # ViT trained with 'standardized' preprocessing must SEE normalized
+    # inputs — fold the normalization into the attacked model
+    if args.preprocess == "standardized":
+        from ladine_tpu.data import NORM_STATS, base_dataset
 
-    # attacks need [0,1]-bounded inputs: use the raw pipeline like the
-    # reference's attack flow (its Test_attacks trees are unnormalized images)
+        mean, std = NORM_STATS[base_dataset(args.dataset)]
+        mean_j, std_j = jnp.asarray(mean), jnp.asarray(std)
+
+        def logits_fn(x):
+            return vit.apply({"params": vparams}, (x - mean_j) / std_j)
+
+    else:
+
+        def logits_fn(x):
+            return vit.apply({"params": vparams}, x)
+
+    attack = jax.jit(make_attack(args.attack_name, args.epsilon, logits_fn))
+
+    # the image pipeline stays raw/[0,1] like the reference's Test_attacks
+    # trees (unnormalized images; normalization happens inside logits_fn)
     ds = load_split(args.dataroot, args.dataset, "test", "raw" if args.preprocess
                     == "standardized" else args.preprocess, image_size=(img, img))
     out_root = args.out or os.path.join(args.dataroot, f"Test_attacks_{args.attack_name}")

@@ -225,9 +225,32 @@ class Runner:
         mesh = self._maybe_mesh(c.training.batch_size) if member_idx is None else None
         start_epoch = 0
         best_acc = -1.0
+        if joint_train:
+            # the reference's aux_cls.joint_train path: CE-update the
+            # guidance alongside every diffusion step
+            from ladine_tpu.train import make_joint_train_step
+
+            aux_tx = make_optimizer(c.aux_optim.optimizer, c.aux_optim.lr,
+                                    c.aux_optim.weight_decay, c.aux_optim.beta1,
+                                    c.aux_optim.eps, grad_clip=c.aux_optim.grad_clip)
+            gparams = gvars["params"]
+            aux_opt = aux_tx.init(gparams)
         if resume_from:
             tree, meta = load_checkpoint(resume_from, target={"states": states, "guidance": gvars})
             states, gvars = tree["states"], tree["guidance"]
+            if joint_train:
+                gparams = gvars["params"]
+                # aux optimizer state lives in a sibling checkpoint so the
+                # main ckpt keeps the fixed {states, guidance} structure
+                aux_path = resume_from + "_aux"
+                if os.path.exists(aux_path):
+                    aux_tree, _ = load_checkpoint(aux_path, target={"aux_opt": aux_opt})
+                    aux_opt = aux_tree["aux_opt"]
+                else:
+                    self.logger.warning(
+                        "resumed a joint run without a *_aux checkpoint; "
+                        "aux optimizer state starts fresh"
+                    )
             start_epoch = int(meta.get("epoch", -1)) + 1
             # restore the historical best so a worse post-resume validation
             # doesn't overwrite the 'best' checkpoint
@@ -238,22 +261,22 @@ class Runner:
                 f"resumed from {resume_from} at epoch {start_epoch} (best acc {best_acc:.2f})"
             )
         if joint_train:
-            # the reference's aux_cls.joint_train path: CE-update the
-            # guidance alongside every diffusion step
-            import optax
-
             from ladine_tpu.train import make_joint_train_step
 
-            aux_tx = make_optimizer(c.aux_optim.optimizer, c.aux_optim.lr,
-                                    c.aux_optim.weight_decay, c.aux_optim.beta1,
-                                    c.aux_optim.eps, grad_clip=c.aux_optim.grad_clip)
-            gparams = gvars["params"]
-            aux_opt = aux_tx.init(gparams)
+            # donate the member states like the non-joint path (full-size
+            # state doesn't fit twice); mesh shardings are not yet wired for
+            # the joint step — run it replicated and say so
             joint_step = jax.jit(make_joint_train_step(
                 self.guidance, self.cond, tx, aux_tx, self.sched,
                 n_train_members, c.data.num_classes, c.model.ema_rate,
                 head_indices=head_indices,
-            ))
+            ), donate_argnums=(0,))
+            if mesh is not None:
+                self.logger.warning(
+                    "--joint_train currently runs without mesh shardings; "
+                    "member/FSDP sharding applies to the non-joint path only"
+                )
+                mesh = None
         raw_step = make_full_train_step(
             self.guidance, gvars, self.cond, tx, self.sched,
             n_train_members, c.data.num_classes, c.model.ema_rate,
@@ -291,6 +314,7 @@ class Runner:
             step_fn = jax.jit(raw_step, donate_argnums=(0,))
 
         global_step = 0
+        best_ckpt_path = None
         t0 = time.time()
         for epoch in range(start_epoch, epochs):
             for images, labels in self.batches("train", c.training.batch_size, shuffle=True, seed=epoch):
@@ -334,8 +358,14 @@ class Runner:
                         {"states": states, "guidance": gvars},
                         {"epoch": epoch, "accuracy": acc, "kind": "diffusion_members"},
                     )
+                    if joint_train:
+                        save_checkpoint(path + "_aux", {"aux_opt": aux_opt},
+                                        {"kind": "aux_optimizer"})
+                    best_ckpt_path = path
                     self.logger.info(f"saved best ckpt to {path}")
-        return {"best_accuracy": best_acc, "steps": global_step, "states": states, "guidance": gvars}
+        return {"best_accuracy": best_acc, "steps": global_step,
+                "states": states, "guidance": gvars,
+                "best_ckpt_path": best_ckpt_path}
 
     def _validate(self, gvars, states, key, mc_trials: int = 1,
                   head_indices=None) -> float:

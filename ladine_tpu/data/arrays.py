@@ -33,7 +33,10 @@ class ArrayDataset:
         if self.images.ndim == 3:  # (N, H, W) -> single channel
             self.images = self.images[..., None]
         self.labels = np.asarray(self.labels, np.int64)
-        self.classes = sorted(np.unique(self.labels).tolist())
+        # class index space is 0..max(label) so a split missing some class
+        # (or with non-contiguous labels) still sizes models correctly and
+        # classes[label] stays a valid lookup (ImageFolderDataset semantics)
+        self.classes = list(range(int(self.labels.max()) + 1)) if len(self.labels) else []
 
     def __len__(self) -> int:
         return len(self.images)
@@ -45,7 +48,10 @@ class ArrayDataset:
     def load_indices(self, indices: Sequence[int], rng: Optional[np.random.Generator] = None) -> np.ndarray:
         batch = self.images[np.asarray(indices)]
         if self.transform is not None:
-            batch = self.transform(batch, rng or np.random.default_rng(0))
+            # no rng given -> fresh OS-seeded randomness (a fixed default
+            # would silently repeat the 'random' augmentation every call);
+            # batches() passes its own seeded rng for reproducible epochs
+            batch = self.transform(batch, rng if rng is not None else np.random.default_rng())
         return batch
 
     def batches(
@@ -91,8 +97,9 @@ def repeat_channels(n: int = 3) -> Callable:
 
 
 def random_rotate(max_degrees: float = 45.0) -> Callable:
-    """Per-image random rotation (RotatedMNIST, utils.py:131-141 semantics),
-    nearest-neighbor on the host."""
+    """Per-image random rotation (RotatedMNIST, utils.py:131-141 semantics).
+    order=0 (nearest-neighbor) matches torchvision RandomRotation's default
+    interpolation."""
 
     def t(batch, rng):
         from scipy.ndimage import rotate as _rot
@@ -100,7 +107,7 @@ def random_rotate(max_degrees: float = 45.0) -> Callable:
         out = np.empty_like(batch)
         for i in range(len(batch)):
             deg = rng.uniform(-max_degrees, max_degrees)
-            out[i] = _rot(batch[i], deg, reshape=False, order=1, mode="constant")
+            out[i] = _rot(batch[i], deg, reshape=False, order=0, mode="constant")
         return out
 
     return t
