@@ -49,6 +49,24 @@ def test_train_single_member_and_out_of_range(demo_runner):
         demo_runner.train(jax.random.PRNGKey(0), epochs=1, member_idx=7)
 
 
+def test_joint_train_saves_and_resumes_aux(tmp_path):
+    import os
+
+    cfg = Config()
+    cfg.diffusion.timesteps = 10
+    cfg.diffusion.num_members = 2
+    cfg.training.batch_size = 8
+    cfg.training.validation_freq = 1
+    r = Runner(cfg, log_dir=str(tmp_path), demo=True)
+    result = r.train(jax.random.PRNGKey(0), epochs=1, joint_train=True)
+    ckpt = result["best_ckpt_path"]
+    assert ckpt and os.path.exists(ckpt + "_aux"), "aux sibling checkpoint missing"
+    # resume restores the aux state (no exception, epoch advances)
+    result2 = r.train(jax.random.PRNGKey(0), epochs=2, joint_train=True,
+                      resume_from=ckpt)
+    assert result2["steps"] == 3  # epochs 1..1 remaining x 3 demo batches
+
+
 def test_maybe_mesh_single_device(demo_runner):
     # tests run on 8 CPU devices; batch 8 tiles -> mesh exists
     mesh = demo_runner._maybe_mesh(8)
