@@ -1,0 +1,112 @@
+"""Minimal HTTP serving demo around ladine_tpu.infer.Predictor.
+
+POST /predict with a JSON body {"images": [[...HxWx3 floats in [0,1]...]]}
+returns {"probs": ..., "majority_vote": ..., "piw": ..., "mc_variance": ...}.
+GET /health returns the artifact geometry.
+
+    python examples/serve_http.py --artifact ./artifact --port 8787
+    python examples/serve_http.py --demo --port 8787   # random tiny artifact
+
+(stdlib http.server: a demonstration of the artifact contract, not a
+production server — front it with a real ASGI stack for deployment.)
+"""
+
+import argparse
+import json
+import os
+import sys
+import threading
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import numpy as np
+
+
+def build_demo_predictor():
+    import jax
+    import jax.numpy as jnp
+
+    from ladine_tpu.infer import Predictor, stack_members
+    from ladine_tpu.models import ConditionalModel, SEViTGuidance
+    from ladine_tpu.ops import DiffusionSchedule
+
+    g = SEViTGuidance(num_classes=2, num_members=3, vit_depth=3, img_size=16,
+                      patch_size=8, embed_dim=16, num_heads=2, mlp_hidden_dims=(16, 8, 8))
+    gv = g.init(jax.random.PRNGKey(0), jnp.zeros((1, 16, 16, 3)))
+    m = ConditionalModel(data_dim=768, feature_dim=8, hidden_dim=8, y_dim=2, n_steps=101)
+    members = [m.init(jax.random.PRNGKey(i), jnp.zeros((1, 768)), jnp.zeros((1, 2)),
+                      jnp.asarray(0), jnp.full((1, 2), 0.5)) for i in range(3)]
+    return Predictor(guidance=g, guidance_vars=gv, model=m,
+                     stacked_vars=stack_members(members),
+                     sched=DiffusionSchedule.create("linear", 100),
+                     mc_trials=4, ddim_steps=10)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--artifact", type=str, default=None)
+    ap.add_argument("--demo", action="store_true")
+    ap.add_argument("--port", type=int, default=8787)
+    ap.add_argument("--cpu", action="store_true")
+    args = ap.parse_args()
+
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+
+    from ladine_tpu.infer import Predictor
+
+    if args.demo:
+        predictor = build_demo_predictor()
+    elif args.artifact:
+        predictor = Predictor.load(args.artifact)
+    else:
+        ap.error("pass --artifact PATH or --demo")
+    size = predictor.guidance.img_size
+    lock = threading.Lock()  # one device computation at a time
+
+    class Handler(BaseHTTPRequestHandler):
+        def _json(self, code, obj):
+            body = json.dumps(obj).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path == "/health":
+                self._json(200, {"status": "ok", "image_size": size,
+                                 "members": int(predictor.guidance.num_members),
+                                 "mc_trials": predictor.mc_trials,
+                                 "ddim_steps": predictor.ddim_steps})
+            else:
+                self._json(404, {"error": "GET /health or POST /predict"})
+
+        def do_POST(self):
+            if self.path != "/predict":
+                return self._json(404, {"error": "POST /predict"})
+            try:
+                length = int(self.headers.get("Content-Length", 0))
+                payload = json.loads(self.rfile.read(length))
+                images = np.asarray(payload["images"], np.float32)
+                with lock:
+                    out = predictor.predict(images)
+                self._json(200, {k: v.tolist() for k, v in out.items()})
+            except (KeyError, ValueError, json.JSONDecodeError) as e:
+                self._json(400, {"error": f"{type(e).__name__}: {e}"})
+
+        def log_message(self, *a):
+            print(f"[serve] {self.address_string()} {a[0] % a[1:]}", file=sys.stderr)
+
+    server = ThreadingHTTPServer(("127.0.0.1", args.port), Handler)
+    print(f"[serve] listening on 127.0.0.1:{args.port} (img {size}x{size})",
+          file=sys.stderr)
+    server.serve_forever()
+
+
+if __name__ == "__main__":
+    main()
