@@ -37,6 +37,9 @@ def main():
     ap.add_argument("--tiny", action="store_true", help="tiny shapes (smoke test)")
     ap.add_argument("--cpu", action="store_true", help="force CPU")
     ap.add_argument("--ddim", type=int, default=0, help="use DDIM with N steps (0 = full 1000-step ancestral)")
+    ap.add_argument("--eta", type=float, default=1.0,
+                    help="strided-sampler stochasticity (eta=1 preserves MC "
+                         "posterior quality; see examples/gmm_posterior.py)")
     ap.add_argument("--batch", type=int, default=70)
     ap.add_argument("--trials", type=int, default=20)
     ap.add_argument("--members", type=int, default=5)
@@ -151,7 +154,7 @@ def main():
         y0_hat = jax.nn.softmax(heads.astype(jnp.float32), axis=-1)[:M]
         xf = images.reshape(images.shape[0], -1)
         return nested_ensemble_sample(cond, stacked, xf, y0_hat, key, sched,
-                                      mc_trials=K, tau=tau,
+                                      mc_trials=K, tau=tau, eta=args.eta,
                                       use_pallas_eps=args.pallas,
                                       use_int8_eps=args.int8,
                                       unroll=args.unroll)

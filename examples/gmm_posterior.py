@@ -49,22 +49,30 @@ def run(n_train_steps=1500, mc_trials=100, seed=0, verbose=True):
         if verbose and i % 300 == 0:
             print(f"step {i}: loss {float(loss):.4f}")
 
-    # evaluate the MC vote fraction on a grid vs the analytic posterior
+    # evaluate the MC vote fraction on a grid vs the analytic posterior,
+    # with BOTH samplers: the full ancestral chain (reference behavior) and
+    # the strided DDIM chain (the fast serving path) — matched MAE is the
+    # accuracy-parity evidence behind the DDIM throughput numbers
+    from ladine_tpu.ops import ddim_timesteps
+
     grid = np.linspace(-2.5, 2.5, 41, dtype=np.float32)[:, None]
     variables = {"params": state.params, "batch_stats": state.batch_stats}
-    samples = member_mc_sample(
-        model, variables, jnp.asarray(grid), jnp.full((41, 2), 0.5),
-        jax.random.PRNGKey(123), sched, mc_trials,
-    )  # (mc_trials, 41, 2)
-    votes = np.asarray(jnp.argmax(samples, -1))  # (mc_trials, 41)
-    p_hat = votes.mean(axis=0)
     p_true = gmm.posterior(grid)
-    mae = float(np.abs(p_hat - p_true).mean())
+    maes = {}
+    for name, tau in [("ancestral", None), ("ddim", ddim_timesteps(T, max(T // 20, 4)))]:
+        samples = member_mc_sample(
+            model, variables, jnp.asarray(grid), jnp.full((41, 2), 0.5),
+            jax.random.PRNGKey(123), sched, mc_trials, tau=tau,
+        )  # (mc_trials, 41, 2)
+        p_hat = np.asarray(jnp.argmax(samples, -1)).mean(axis=0)
+        maes[name] = float(np.abs(p_hat - p_true).mean())
+        if verbose and name == "ancestral":
+            for i in range(0, 41, 8):
+                print(f"x={grid[i,0]:+.2f}  p_true={p_true[i]:.3f}  p_mc={p_hat[i]:.3f}")
     if verbose:
-        for i in range(0, 41, 8):
-            print(f"x={grid[i,0]:+.2f}  p_true={p_true[i]:.3f}  p_mc={p_hat[i]:.3f}")
-        print(f"MAE(p_mc, p_analytic) = {mae:.4f}")
-    return mae
+        print(f"MAE(p_mc, p_analytic): ancestral={maes['ancestral']:.4f}  "
+              f"ddim({max(T // 20, 4)} steps)={maes['ddim']:.4f}")
+    return maes["ancestral"]
 
 
 if __name__ == "__main__":

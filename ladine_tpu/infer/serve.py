@@ -42,6 +42,11 @@ class Predictor:
     temperature: float = 0.1737
     mc_trials: int = 20
     ddim_steps: int = 50  # serving default: strided sampler (0 = full chain)
+    # eta=1 (stochastic) is the serving default: deterministic strided
+    # sampling collapses per-chain randomness to the y_T draw and measurably
+    # degrades the MC posterior estimate (GMM validation: eta=0 MAE 0.036-
+    # 0.043 vs eta=1 MAE 0.012 at 20-50 steps, ancestral 0.014)
+    ddim_eta: float = 1.0
     use_int8: bool = False
     seed: int = 0
     # which guidance heads condition the stacked members; None = heads
@@ -70,7 +75,8 @@ class Predictor:
             x_flat = images.reshape(images.shape[0], -1)
             samples = nested_ensemble_sample(
                 self.model, stacked, x_flat, y0_hat, key, self.sched,
-                mc_trials=self.mc_trials, tau=self._tau, use_int8_eps=self.use_int8,
+                mc_trials=self.mc_trials, tau=self._tau, eta=self.ddim_eta,
+                use_int8_eps=self.use_int8,
             )
             m, k, b, c = samples.shape
             flat = samples.reshape(m * k, b, c)
@@ -120,6 +126,7 @@ class Predictor:
             "temperature": self.temperature,
             "mc_trials": self.mc_trials,
             "ddim_steps": self.ddim_steps,
+            "ddim_eta": self.ddim_eta,
             "use_int8": self.use_int8,
             "head_indices": list(self.head_indices) if self.head_indices else None,
             "guidance": {
@@ -179,7 +186,8 @@ class Predictor:
         hi = meta.get("head_indices")
         kwargs = dict(
             temperature=meta["temperature"], mc_trials=meta["mc_trials"],
-            ddim_steps=meta["ddim_steps"], use_int8=meta["use_int8"],
+            ddim_steps=meta["ddim_steps"], ddim_eta=meta.get("ddim_eta", 1.0),
+            use_int8=meta["use_int8"],
             head_indices=tuple(hi) if hi else None,
         )
         kwargs.update(overrides)
