@@ -12,7 +12,7 @@ import jax.numpy as jnp
 
 from ladine_tpu.attacks.autopgd import apgd_ce
 from ladine_tpu.attacks.cw import cw_l2
-from ladine_tpu.attacks.gradient import bim, fgsm, l2pgd, pgd
+from ladine_tpu.attacks.gradient import bim, fgsm, l2_bim, l2pgd, linf_bim, pgd
 
 ATTACKS = ("FGSM", "PGD", "BIM", "LinfBIM", "L2PGD", "CW", "AUTOPGD")
 
@@ -26,12 +26,19 @@ def make_attack(name: str, epsilon: float, logits_fn) -> Callable:
         return lambda x, labels, key: fgsm(logits_fn, x, labels, epsilon)
     if name == "PGD":
         return lambda x, labels, key: pgd(logits_fn, x, labels, epsilon, key)
-    if name in ("BIM", "LinfBIM"):
-        return lambda x, labels, key: bim(logits_fn, x, labels, epsilon)
+    if name == "BIM":
+        # the reference's BIM mode is foolbox's **L2** basic iterative attack
+        # (attack.py:96); LinfBIM below is the Linf variant (attack.py:136)
+        return lambda x, labels, key: l2_bim(logits_fn, x, labels, epsilon)
+    if name == "LinfBIM":
+        return lambda x, labels, key: linf_bim(logits_fn, x, labels, epsilon)
     if name == "L2PGD":
         return lambda x, labels, key: l2pgd(logits_fn, x, labels, epsilon, key)
     if name == "CW":
-        return lambda x, labels, key: cw_l2(logits_fn, x, labels)
+        # the reference passes epsilons=eps and consumes foolbox's CLIPPED
+        # second return (attack.py:77-81); non-positive eps = unclipped
+        eps_cw = epsilon if epsilon and epsilon > 0 else None
+        return lambda x, labels, key: cw_l2(logits_fn, x, labels, epsilon=eps_cw)
     if name == "AUTOPGD":
         return lambda x, labels, key: apgd_ce(logits_fn, x, labels, epsilon, key)
     raise ValueError(f"unknown attack {name!r}; one of {ATTACKS}")

@@ -7,6 +7,13 @@ confidence=0)``. Standard CW-L2: optimize delta in tanh space with Adam,
 objective ||adv - x||^2 + c * max(Z_true - max Z_other + confidence, 0),
 binary-searching the trade-off constant c per sample.
 
+The reference consumes foolbox's SECOND return (``attack.py:77-81``), which
+for a minimization attack called with ``epsilons=eps`` is the adversarial
+image with its perturbation **clipped to the L2 eps-ball** and success
+recomputed after clipping (foolbox/attacks/base.py ``__call__``) — pass
+``epsilon`` to reproduce that; ``epsilon=None`` returns the unclipped
+minimizer.
+
 TPU-first: the whole optimization (binary-search outer loop x Adam inner
 loop) is lax.fori_loop'd inside one jit — no host round trips.
 """
@@ -30,6 +37,7 @@ def cw_l2(
     stepsize: float = 0.01,
     confidence: float = 0.0,
     initial_const: float = 1e-3,
+    epsilon: float = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     b = x.shape[0]
     num_classes = None  # inferred from logits below
@@ -100,6 +108,15 @@ def cw_l2(
     carry = (c0, lo, hi, x, jnp.full((b,), jnp.inf))
     carry = jax.lax.fori_loop(0, binary_search_steps, outer, carry)
     best_adv, best_l2 = carry[3], carry[4]
-    success = jnp.isfinite(best_l2)
+    if epsilon is not None:
+        # foolbox fixed-epsilon semantics: clip the perturbation to the L2
+        # eps-ball and judge success on the clipped image
+        delta = best_adv - x
+        norms = jnp.sqrt(jnp.sum(delta**2, axis=(1, 2, 3), keepdims=True))
+        factor = jnp.minimum(1.0, epsilon / jnp.maximum(norms, 1e-12))
+        best_adv = jnp.clip(x + delta * factor, 0.0, 1.0)
+        success = jnp.argmax(logits_fn(best_adv), -1) != labels
+    else:
+        success = jnp.isfinite(best_l2)
     # unfooled samples keep the clean image (foolbox returns best found)
     return best_adv, success

@@ -1,25 +1,34 @@
 """White-box gradient attacks via jax.grad.
 
 Parity with the reference's foolbox wrapper
-(/root/reference/diffusion/attack.py:6-176): FGSM, PGD (Linf), BIM (Linf),
-L2PGD, all computed against the ViT classifier with cross-entropy, images in
-[0, 1] bounds (fb.models.PyTorchModel(model, bounds=(0,1)), attack.py:20).
-Default step counts/sizes mirror foolbox 3.x:
+(/root/reference/diffusion/attack.py:6-176): every attack is computed
+against the ViT classifier with cross-entropy, images in [0, 1] bounds
+(fb.models.PyTorchModel(model, bounds=(0,1)), attack.py:20), all
+constructors called with foolbox 3.x DEFAULTS (attack.py:34,55,96,116,136).
 
-* FGSM            — single signed-gradient step of size eps.
-* LinfPGD         — 40 steps, rel_stepsize 0.01/0.3 (abs = eps/4... foolbox
-                    uses rel_stepsize=0.01/0.3? see class docstring), random
-                    uniform start in the eps-ball.
-* LinfBIM         — 10 steps, rel_stepsize 0.2, no random start.
-* L2PGD           — 40 steps, rel_stepsize 0.025, random start in the L2 ball.
+Pinned foolbox 3.x default constants (foolbox/attacks/
+fast_gradient_method.py, projected_gradient_descent.py,
+basic_iterative_method.py — class attribute defaults):
+
+| reference mode | foolbox class                  | rel_stepsize | steps | random_start |
+|----------------|--------------------------------|--------------|-------|--------------|
+| FGSM           | LinfFastGradientAttack         | 1.0 (=eps)   | 1     | False        |
+| PGD            | LinfProjectedGradientDescent   | 0.01/0.3     | 40    | True         |
+| L2PGD          | L2ProjectedGradientDescent     | 0.025        | 50    | True         |
+| BIM            | **L2**BasicIterativeAttack     | 0.2          | 10    | False        |
+| LinfBIM        | LinfBasicIterativeAttack       | 0.2          | 10    | False        |
+
+NOTE the reference's ``BIM`` mode is the **L2** basic iterative attack
+(attack.py:96: ``fb.attacks.L2BasicIterativeAttack()``); ``LinfBIM`` is the
+separate Linf variant (attack.py:136). Step size is ``rel_stepsize * eps``
+per foolbox's ``BaseGradientDescent.run``. Random starts: Linf draws uniform
+in the eps-box; L2 draws uniform in the eps-ball (radius ~ U^(1/d)). RNG is
+jax-native (bitwise parity with torch RNG is impossible; parity is
+statistical).
 
 The reference's foolbox import is a latent bug (absent from
 requirements.txt, SURVEY.md C11); here the attacks are first-class, jittable,
 and run on TPU — ``logits_fn`` is any pure (B,H,W,C)->(B,classes) function.
-
-Foolbox's exact default hyperparameters: LinfPGD(rel_stepsize=0.01/0.3,
-steps=40, random_start=True) -> abs_stepsize = eps * 0.0333; LinfBIM
-(rel_stepsize=0.2, steps=10); L2PGD(rel_stepsize=0.025, steps=50).
 """
 
 from __future__ import annotations
@@ -90,7 +99,7 @@ def pgd(
     return adv, _success(logits_fn, adv, labels)
 
 
-def bim(
+def linf_bim(
     logits_fn: LogitsFn,
     x: jnp.ndarray,
     labels: jnp.ndarray,
@@ -98,10 +107,39 @@ def bim(
     steps: int = 10,
     rel_stepsize: float = 0.2,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Linf Basic Iterative Method (attack.py BIM/LinfBIM modes): PGD without
-    random start, foolbox defaults."""
+    """Linf Basic Iterative Method — the reference's ``LinfBIM`` mode
+    (attack.py:136, foolbox LinfBasicIterativeAttack: rel_stepsize=0.2,
+    steps=10, no random start)."""
     key = jax.random.PRNGKey(0)  # unused
     return pgd(logits_fn, x, labels, eps, key, steps, rel_stepsize, random_start=False)
+
+
+def l2_bim(
+    logits_fn: LogitsFn,
+    x: jnp.ndarray,
+    labels: jnp.ndarray,
+    eps: float,
+    steps: int = 10,
+    rel_stepsize: float = 0.2,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """L2 Basic Iterative Method — the reference's ``BIM`` mode maps to
+    foolbox's **L2**BasicIterativeAttack (attack.py:96), NOT the Linf
+    variant: normalized-gradient steps of size 0.2*eps, 10 steps, no random
+    start, projection onto the L2 eps-ball."""
+    alpha = eps * rel_stepsize
+
+    def body(i, adv):
+        g = _ce_grad(logits_fn, adv, labels)
+        gn = jnp.sqrt(jnp.sum(g**2, axis=(1, 2, 3), keepdims=True))
+        return _l2_project(adv + alpha * g / jnp.maximum(gn, 1e-12), x, eps)
+
+    adv = jax.lax.fori_loop(0, steps, body, x)
+    return adv, _success(logits_fn, adv, labels)
+
+
+# kept as an alias for round-1 callers; the dispatch layer now routes the
+# reference's mode names to the correct norm (attacks/__init__.py)
+bim = linf_bim
 
 
 def l2pgd(

@@ -20,10 +20,10 @@ def linear_model():
     return logits_fn, x, labels
 
 
-@pytest.mark.parametrize("name", ["FGSM", "PGD", "BIM", "L2PGD", "AUTOPGD"])
+@pytest.mark.parametrize("name", ["FGSM", "PGD", "BIM", "LinfBIM", "L2PGD", "AUTOPGD"])
 def test_attack_fools_linear_model(linear_model, name):
     logits_fn, x, labels = linear_model
-    eps = 0.5 if name == "L2PGD" else 0.1
+    eps = 0.5 if name in ("L2PGD", "BIM") else 0.1
     attack = make_attack(name, eps, logits_fn)
     adv, success = attack(x, labels, jax.random.PRNGKey(2))
     assert adv.shape == x.shape
@@ -59,12 +59,44 @@ def test_autopgd_respects_epsilon(linear_model):
 
 def test_cw_fools_and_stays_close(linear_model):
     logits_fn, x, labels = linear_model
-    attack = make_attack("CW", 0.0, logits_fn)  # eps unused for CW
+    attack = make_attack("CW", 0.0, logits_fn)  # eps <= 0: unclipped minimizer
     adv, success = attack(x, labels, jax.random.PRNGKey(0))
     assert np.asarray(success).mean() >= 0.5
     # CW minimizes L2: fooled samples should be close to the originals
     l2 = np.sqrt(np.sum(np.asarray(adv - x) ** 2, axis=(1, 2, 3)))
     assert l2[np.asarray(success)].max() < 5.0
+
+
+def test_cw_respects_epsilon_like_foolbox(linear_model):
+    """The reference consumes foolbox's eps-CLIPPED second return
+    (attack.py:77-81): with epsilons=eps the CW perturbation is clipped to
+    the L2 eps-ball and success recomputed on the clipped image."""
+    logits_fn, x, labels = linear_model
+    adv, success = make_attack("CW", 0.05, logits_fn)(x, labels, jax.random.PRNGKey(0))
+    norms = np.sqrt(np.sum(np.asarray(adv - x) ** 2, axis=(1, 2, 3)))
+    assert norms.max() <= 0.05 + 1e-5
+    # success must describe the clipped images, not the unclipped minimizer
+    fooled_now = np.asarray(jnp.argmax(logits_fn(adv), -1) != labels)
+    np.testing.assert_array_equal(np.asarray(success), fooled_now)
+
+
+def test_bim_is_l2_not_linf(linear_model):
+    """Reference BIM = foolbox L2BasicIterativeAttack (attack.py:96): the
+    perturbation lives in the L2 eps-ball — for eps far below sqrt(d) an
+    Linf-style signed step would overshoot it immediately."""
+    logits_fn, x, labels = linear_model
+    eps = 0.3
+    adv, _ = make_attack("BIM", eps, logits_fn)(x, labels, jax.random.PRNGKey(0))
+    norms = np.sqrt(np.sum(np.asarray(adv - x) ** 2, axis=(1, 2, 3)))
+    assert norms.max() <= eps + 1e-5
+    # and it must actually move (one normalized step is 0.2*eps long)
+    assert norms.min() > 0.01
+
+
+def test_linf_bim_respects_epsilon(linear_model):
+    logits_fn, x, labels = linear_model
+    adv, _ = make_attack("LinfBIM", 0.05, logits_fn)(x, labels, jax.random.PRNGKey(0))
+    assert float(jnp.abs(adv - x).max()) <= 0.05 + 1e-6
 
 
 def test_apply_attack_returns_images(linear_model):
