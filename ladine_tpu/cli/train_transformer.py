@@ -31,10 +31,23 @@ def build_parser():
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--num_classes", type=int, default=2)
     p.add_argument("--model_arch", type=str, default="vit",
-                   choices=["vit", "resnet18", "resnet50"],
-                   help="backbone family (reference train_transformer.py:59-84 "
-                        "also offered resnet/efficientnet/deit/convit)")
+                   choices=["vit", "resnet18", "resnet50", "efficientnetv2",
+                            "deit", "deit_distilled", "convit"],
+                   help="backbone family — all six reference choices "
+                        "(train_transformer.py:59-84; the reference loaded "
+                        "efficientnetv2_l/deit_base/convit_base from local "
+                        "pickles, here they are native Flax modules)")
+    p.add_argument("--effnet_variant", type=str, default="l",
+                   choices=["s", "m", "l"],
+                   help="EfficientNetV2 size (reference used efficientnetv2_l)")
     p.add_argument("--out", type=str, default="./models")
+    # backbone geometry (reference: timm ViT-B/16 fixed; configurable here so
+    # the stage-1 -> stage-3 handoff can run at any model scale)
+    p.add_argument("--image_size", type=int, default=224)
+    p.add_argument("--patch_size", type=int, default=16)
+    p.add_argument("--embed_dim", type=int, default=768)
+    p.add_argument("--depth", type=int, default=12)
+    p.add_argument("--num_heads", type=int, default=12)
     p.add_argument("--demo", action="store_true")
     p.add_argument("--cpu", action="store_true")
     return p
@@ -61,11 +74,33 @@ def main(argv=None) -> int:
         img, patch, embed, heads, depth = 16, 8, 16, 2, 2
         args.epochs = min(args.epochs, 3)
     else:
-        img, patch, embed, heads, depth = 224, 16, 768, 12, 12
+        img, patch, embed = args.image_size, args.patch_size, args.embed_dim
+        heads, depth = args.num_heads, args.depth
 
     if args.model_arch == "vit":
         vit = ViT(num_classes=args.num_classes, img_size=img, patch_size=patch,
                   embed_dim=embed, depth=depth, num_heads=heads)
+    elif args.model_arch in ("deit", "deit_distilled"):
+        from ladine_tpu.models.backbones import DeiT
+
+        vit = DeiT(num_classes=args.num_classes, img_size=img, patch_size=patch,
+                   embed_dim=embed, depth=depth, num_heads=heads,
+                   distilled=args.model_arch == "deit_distilled")
+    elif args.model_arch == "convit":
+        from ladine_tpu.models.backbones import ConViT
+
+        # convit_base: 16 heads, GPSA in the first 10 of 12 blocks
+        vit = ConViT(num_classes=args.num_classes, img_size=img, patch_size=patch,
+                     embed_dim=embed, depth=depth,
+                     num_heads=16 if not args.demo else heads,
+                     local_layers=min(10, max(depth - 2, 1)))
+    elif args.model_arch == "efficientnetv2":
+        from ladine_tpu.models.backbones import EfficientNetV2
+
+        vit = EfficientNetV2(num_classes=args.num_classes,
+                             variant=args.effnet_variant,
+                             width_mult=0.125 if args.demo else 1.0,
+                             depth_mult=0.15 if args.demo else 1.0)
     else:
         from ladine_tpu.models.encoders import ResNet
 
