@@ -56,8 +56,21 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--mlp_idx", type=int, default=None,
                    help="train only this member (reference semantics); default all")
     # checkpoints
-    p.add_argument("--guidance_ckpt", type=str, default=None)
-    p.add_argument("--diffusion_ckpt", type=str, nargs="*", default=None)
+    p.add_argument("--guidance_ckpt", type=str, default=None,
+                   help="a FULL SEViTGuidance checkpoint (saved guidance tree)")
+    p.add_argument("--vit_ckpt", type=str, default=None,
+                   help="stage-1a ViT checkpoint; with --mlp_ckpt_dir, the "
+                        "guidance is assembled from stage-1 artifacts "
+                        "(reference make_files.sh handoff)")
+    p.add_argument("--mlp_ckpt_dir", type=str, default=None,
+                   help="stage-1b directory holding block_0..block_{K-1}")
+    p.add_argument("--diffusion_ckpt", type=str, nargs="*", default=None,
+                   help="ONE training checkpoint (diffu_all*/diffu{k}*) or K "
+                        "per-member variable checkpoints")
+    p.add_argument("--eval_ema", action="store_true",
+                   help="evaluate/validate the EMA shadow parameters instead "
+                        "of the raw ones (the reference computes but never "
+                        "applies its EMA)")
     p.add_argument("--resume_training", type=str, default=None,
                    help="checkpoint dir to resume training from")
     p.add_argument("--pretrain_guidance", type=int, default=0,
@@ -74,8 +87,24 @@ def build_parser() -> argparse.ArgumentParser:
     # diffusion overrides
     p.add_argument("--timesteps", type=int, default=None)
     p.add_argument("--ddim", type=int, default=0, help="strided sampler steps (0 = full chain)")
-    p.add_argument("--eta", type=float, default=0.0,
-                   help="strided-sampler stochasticity (reference DDIM-heritage flag)")
+    p.add_argument("--eta", type=float, default=None,
+                   help="strided-sampler stochasticity; default 1.0 (eta=0 "
+                        "collapses per-chain randomness to the y_T draw and "
+                        "degrades the MC posterior — see examples/"
+                        "gmm_posterior.py); only used with --ddim")
+    p.add_argument("--val_ddim", type=int, default=None,
+                   help="stride the VALIDATION sampler only during --train "
+                        "(0/unset = follow --ddim)")
+    p.add_argument("--skip_type", type=str, default=None,
+                   choices=["uniform", "quad"],
+                   help="strided-sampler timestep spacing (reference "
+                        "main.py:133-139 DDIM-heritage flag)")
+    p.add_argument("--noise_prior", action="store_true",
+                   help="zero prior mean at T instead of the guidance "
+                        "prediction (reference main.py:83-86,189)")
+    p.add_argument("--no_cat_f_phi", action="store_true",
+                   help="do not concatenate the guidance prediction onto the "
+                        "eps-net y-branch input (reference main.py:87-90)")
     p.add_argument("--n_epochs", type=int, default=None)
     # corruptions (test.sh env-var surface)
     p.add_argument("--noise_perturbation", type=float, default=0.0)
@@ -146,6 +175,16 @@ def main(argv=None) -> int:
         cfg.training.n_epochs = args.n_epochs
     if args.ddim:
         cfg.diffusion.ddim_steps = args.ddim
+    if args.eta is not None:
+        cfg.diffusion.ddim_eta = args.eta
+    if args.val_ddim is not None:
+        cfg.diffusion.val_ddim_steps = args.val_ddim
+    if args.skip_type:
+        cfg.diffusion.skip_type = args.skip_type
+    if args.noise_prior:
+        cfg.diffusion.noise_prior = True
+    if args.no_cat_f_phi:
+        cfg.diffusion.include_guidance = False
     if args.bf16:
         cfg.model.dtype = "bfloat16"
     if args.pallas:
@@ -176,11 +215,14 @@ def main(argv=None) -> int:
         attack_name=args.attack_name,
         attack_eps=args.epsilon,
         ddim_steps=cfg.diffusion.ddim_steps,
-        ddim_eta=args.eta,
+        ddim_eta=cfg.diffusion.ddim_eta,
+        skip_type=cfg.diffusion.skip_type,
+        noise_prior=cfg.diffusion.noise_prior,
     )
 
     if args.eval_guidance:
-        gvars = runner.init_guidance(jax.random.PRNGKey(0), args.guidance_ckpt)
+        gvars = runner.init_guidance(jax.random.PRNGKey(0), args.guidance_ckpt,
+                                     vit_ckpt=args.vit_ckpt, mlp_dir=args.mlp_ckpt_dir)
         if args.demo and args.guidance_ckpt is None:
             gvars = runner.pretrain_guidance(gvars)
         acc = runner.evaluate_guidance(gvars)
@@ -193,7 +235,10 @@ def main(argv=None) -> int:
                               resume_from=args.resume_training,
                               pretrain_guidance_steps=args.pretrain_guidance,
                               member_idx=args.mlp_idx,
-                              joint_train=args.joint_train)
+                              joint_train=args.joint_train,
+                              eval_ema=args.eval_ema,
+                              vit_ckpt=args.vit_ckpt,
+                              mlp_dir=args.mlp_ckpt_dir)
         summary = {"mode": "train", "best_accuracy": result["best_accuracy"],
                    "steps": result["steps"]}
         if args.export_predictor:
@@ -222,6 +267,9 @@ def main(argv=None) -> int:
                 temperature=runner.temperature,
                 mc_trials=cfg.testing.mc_trials,
                 ddim_steps=cfg.diffusion.ddim_steps or 50,
+                # bake the run's sampler stochasticity into the artifact so
+                # the served sampler matches the evaluated/calibrated one
+                ddim_eta=cfg.diffusion.ddim_eta,
                 head_indices=(args.mlp_idx,) if args.mlp_idx is not None else None,
             )
             artifact = os.path.join(log_dir, "predictor_artifact")
@@ -261,8 +309,36 @@ def main(argv=None) -> int:
         return 0
 
     if args.test or args.calib:
-        gvars = runner.init_guidance(jax.random.PRNGKey(0), args.guidance_ckpt)
-        stacked = runner.init_members(jax.random.PRNGKey(1), args.diffusion_ckpt)
+        # a single --diffusion_ckpt that is a TRAINING checkpoint (diffu_all*)
+        # carries the stacked members AND the guidance they were trained
+        # against — the natural train -> test handoff
+        train_ckpt = None
+        if args.diffusion_ckpt and len(args.diffusion_ckpt) == 1:
+            meta_p = os.path.join(args.diffusion_ckpt[0], "ladine_meta.json")
+            if os.path.exists(meta_p):
+                with open(meta_p) as f:
+                    if json.load(f).get("kind") == "diffusion_members":
+                        train_ckpt = args.diffusion_ckpt[0]
+        if train_ckpt:
+            stacked, g_tree = runner.load_members_from_train_ckpt(
+                train_ckpt, use_ema=args.eval_ema
+            )
+            if args.guidance_ckpt or args.vit_ckpt:
+                gvars = runner.init_guidance(jax.random.PRNGKey(0), args.guidance_ckpt,
+                                             vit_ckpt=args.vit_ckpt,
+                                             mlp_dir=args.mlp_ckpt_dir)
+            else:
+                gvars = jax.tree.map(jax.numpy.asarray, g_tree)
+        else:
+            if args.eval_ema:
+                print("--eval_ema needs a training checkpoint (diffu_all*); "
+                      "per-member variable checkpoints carry no EMA shadows",
+                      file=sys.stderr)
+                return 2
+            gvars = runner.init_guidance(jax.random.PRNGKey(0), args.guidance_ckpt,
+                                         vit_ckpt=args.vit_ckpt,
+                                         mlp_dir=args.mlp_ckpt_dir)
+            stacked = runner.init_members(jax.random.PRNGKey(1), args.diffusion_ckpt)
         if args.test and args.sweep:
             param, _, values = args.sweep.partition("=")
             field_map = {"noise": "noise_std", "lowres": "low_resolution",

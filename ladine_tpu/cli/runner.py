@@ -50,7 +50,10 @@ class Runner:
         self.log_dir = log_dir
         self.demo = demo
         self.logger = setup_logging(log_dir)
-        self.scalars = ScalarLogger(log_dir, use_tensorboard=False)
+        # TB mirror on when the package exists (ScalarLogger degrades to
+        # JSONL-only otherwise) — unlike the reference, where --ni sets
+        # tb_logger=None and both shipped scripts pass --ni (main.py:224-227)
+        self.scalars = ScalarLogger(log_dir)
         c = config
 
         if demo:
@@ -153,12 +156,32 @@ class Runner:
 
     # ------------------------------------------------------- guidance io
 
-    def init_guidance(self, key: jax.Array, ckpt_path: Optional[str] = None):
+    def init_guidance(self, key: jax.Array, ckpt_path: Optional[str] = None,
+                      vit_ckpt: Optional[str] = None,
+                      mlp_dir: Optional[str] = None):
+        """Guidance variables: random init, a full --guidance_ckpt, or the
+        stage-1 artifacts assembled in place (the reference's make_files.sh +
+        torch.load handoff, classification_train_separately.py:249-315)."""
         images = jnp.zeros((1, self.img, self.img, 3))
         gvars = self.guidance.init(key, images)
-        if ckpt_path and os.path.exists(ckpt_path):
+        if ckpt_path:
+            if not os.path.exists(ckpt_path):
+                raise FileNotFoundError(f"--guidance_ckpt {ckpt_path} does not exist")
             gvars, _ = load_checkpoint(ckpt_path, target=gvars)
             self.logger.info(f"loaded guidance from {ckpt_path}")
+        elif vit_ckpt or mlp_dir:
+            if not (vit_ckpt and mlp_dir):
+                raise ValueError("--vit_ckpt and --mlp_ckpt_dir must be given together")
+            from ladine_tpu.utils import assemble_guidance, validate_guidance_tree
+
+            assembled = assemble_guidance(
+                vit_ckpt, mlp_dir=mlp_dir,
+                num_members=self.config.diffusion.num_members,
+            )
+            gvars = validate_guidance_tree(assembled, gvars)
+            self.logger.info(
+                f"assembled guidance from stage-1 ckpts {vit_ckpt} + {mlp_dir}"
+            )
         return gvars
 
     def init_members(self, key: jax.Array, ckpt_paths: Optional[list] = None):
@@ -181,6 +204,30 @@ class Runner:
             self.logger.info(f"loaded {len(loaded)} diffusion members")
         return stacked
 
+    def load_members_from_train_ckpt(self, path: str, use_ema: bool = False):
+        """Eval-side loader for a training checkpoint (the ``diffu_all*`` /
+        ``diffu{k}*`` dirs saved by :meth:`train`): returns (stacked member
+        variables, guidance variables). ``use_ema`` evaluates the EMA shadow
+        parameters instead of the raw ones — the evaluation path the
+        reference's EMA never gets (SURVEY.md C6: computed, never applied)."""
+        tree, meta = load_checkpoint(path)
+        if meta.get("kind") != "diffusion_members" or "states" not in tree:
+            raise ValueError(
+                f"{path} is not a diffusion training checkpoint "
+                f"(kind={meta.get('kind')!r}); pass per-member variable "
+                "checkpoints as separate --diffusion_ckpt arguments instead"
+            )
+        st = tree["states"]
+        params = st["ema"] if use_ema else st["params"]
+        variables = {"params": params, "batch_stats": st["batch_stats"]}
+        variables = jax.tree.map(jnp.asarray, variables)
+        n = jax.tree.leaves(params)[0].shape[0]
+        self.logger.info(
+            f"loaded {n} trained members from {path}"
+            + (" (EMA weights)" if use_ema else "")
+        )
+        return variables, tree.get("guidance")
+
     # ------------------------------------------------------------ train
 
     def train(self, key: jax.Array, guidance_ckpt: Optional[str] = None,
@@ -188,7 +235,10 @@ class Runner:
               resume_from: Optional[str] = None,
               pretrain_guidance_steps: int = 0,
               member_idx: Optional[int] = None,
-              joint_train: bool = False) -> Dict[str, Any]:
+              joint_train: bool = False,
+              eval_ema: bool = False,
+              vit_ckpt: Optional[str] = None,
+              mlp_dir: Optional[str] = None) -> Dict[str, Any]:
         """Train ALL diffusion members concurrently (reference: one member
         per process invocation, train.sh), or just ``member_idx`` — the
         reference's per-member MLP_IDX workflow. ``resume_from`` restores
@@ -203,7 +253,8 @@ class Runner:
             )
         head_indices = (member_idx,) if member_idx is not None else None
         n_train_members = 1 if member_idx is not None else c.diffusion.num_members
-        gvars = self.init_guidance(jax.random.PRNGKey(0), guidance_ckpt)
+        gvars = self.init_guidance(jax.random.PRNGKey(0), guidance_ckpt,
+                                   vit_ckpt=vit_ckpt, mlp_dir=mlp_dir)
         if pretrain_guidance_steps:
             gvars = self.pretrain_guidance(gvars, steps=pretrain_guidance_steps,
                                            batch_size=c.training.batch_size)
@@ -260,27 +311,19 @@ class Runner:
             self.logger.info(
                 f"resumed from {resume_from} at epoch {start_epoch} (best acc {best_acc:.2f})"
             )
+        raw_joint = None
         if joint_train:
             from ladine_tpu.train import make_joint_train_step
 
-            # donate the member states like the non-joint path (full-size
-            # state doesn't fit twice); mesh shardings are not yet wired for
-            # the joint step — run it replicated and say so
-            joint_step = jax.jit(make_joint_train_step(
+            raw_joint = make_joint_train_step(
                 self.guidance, self.cond, tx, aux_tx, self.sched,
                 n_train_members, c.data.num_classes, c.model.ema_rate,
-                head_indices=head_indices,
-            ), donate_argnums=(0,))
-            if mesh is not None:
-                self.logger.warning(
-                    "--joint_train currently runs without mesh shardings; "
-                    "member/FSDP sharding applies to the non-joint path only"
-                )
-                mesh = None
+                head_indices=head_indices, noise_prior=c.diffusion.noise_prior,
+            )
         raw_step = make_full_train_step(
             self.guidance, gvars, self.cond, tx, self.sched,
             n_train_members, c.data.num_classes, c.model.ema_rate,
-            head_indices=head_indices,
+            head_indices=head_indices, noise_prior=c.diffusion.noise_prior,
         )
         if mesh is not None:
             from ladine_tpu.parallel import (
@@ -292,16 +335,32 @@ class Runner:
                 st_shard = fsdp_shardings(states, mesh)
             else:
                 st_shard = tree_shardings(states, member_sharding(mesh))
+            data_s, rep = data_sharding(mesh), replicated(mesh)
             # donate the member states: params/moments/EMA update in place
             # (without donation old+new state coexist — the full-size fp32
             # state alone is ~13 GB of a 16 GB chip)
-            step_fn = jax.jit(
-                raw_step,
-                in_shardings=(st_shard, data_sharding(mesh), data_sharding(mesh),
-                              replicated(mesh)),
-                out_shardings=(st_shard, member_sharding(mesh)),
-                donate_argnums=(0,),
-            )
+            if joint_train:
+                # guidance params + aux optimizer are small: replicated,
+                # CE gradient psum'd over 'data' by GSPMD; donated too
+                # (updated in place each step)
+                g_shard = tree_shardings(gparams, rep)
+                aux_shard = tree_shardings(aux_opt, rep)
+                joint_step = jax.jit(
+                    raw_joint,
+                    in_shardings=(st_shard, g_shard, aux_shard, data_s, data_s, rep),
+                    out_shardings=(st_shard, g_shard, aux_shard, rep,
+                                   member_sharding(mesh)),
+                    donate_argnums=(0, 1, 2),
+                )
+                gparams = shard_pytree(gparams, rep)
+                aux_opt = shard_pytree(aux_opt, rep)
+            else:
+                step_fn = jax.jit(
+                    raw_step,
+                    in_shardings=(st_shard, data_s, data_s, rep),
+                    out_shardings=(st_shard, member_sharding(mesh)),
+                    donate_argnums=(0,),
+                )
             states = (
                 jax.tree.map(jax.device_put, states, st_shard)
                 if c.model.fsdp
@@ -309,7 +368,10 @@ class Runner:
             )
             self.logger.info(
                 f"training on mesh {dict(zip(mesh.axis_names, mesh.devices.shape))}"
+                + (" (joint)" if joint_train else "")
             )
+        elif joint_train:
+            joint_step = jax.jit(raw_joint, donate_argnums=(0, 1, 2))
         else:
             step_fn = jax.jit(raw_step, donate_argnums=(0,))
 
@@ -340,7 +402,8 @@ class Runner:
                 # training stream — otherwise the steps after a validation
                 # reuse exactly the key material validation just consumed
                 val_key = jax.random.fold_in(key, 1_000_000 + epoch)
-                acc = self._validate(gvars, states, val_key, head_indices=head_indices)
+                acc = self._validate(gvars, states, val_key, head_indices=head_indices,
+                                     use_ema=eval_ema)
                 self.scalars.add_scalar("accuracy", acc, global_step)
                 self.logger.info(f"epoch {epoch}: validation majority-vote acc {acc:.2f}%")
                 if acc > best_acc:
@@ -368,11 +431,14 @@ class Runner:
                 "best_ckpt_path": best_ckpt_path}
 
     def _validate(self, gvars, states, key, mc_trials: int = 1,
-                  head_indices=None) -> float:
+                  head_indices=None, use_ema: bool = False) -> float:
         """Majority-vote accuracy on the validation split — the in-training
         quality gate (classification_train_separately.py:1054-1129).
         ``head_indices`` aligns guidance heads with the trained members for
-        single-member (--mlp_idx) runs."""
+        single-member (--mlp_idx) runs. ``use_ema`` validates the EMA shadow
+        parameters (--eval_ema). ``diffusion.val_ddim_steps`` strides the
+        validation sampler only — with the full 1000-step chain every 10th
+        epoch otherwise costs ~a full test pass."""
         import jax.numpy as jnp
 
         from ladine_tpu.infer import nested_ensemble_sample
@@ -380,12 +446,16 @@ class Runner:
         from ladine_tpu.ops import ddim_timesteps
 
         c = self.config
-        variables = jax.vmap(lambda s: {"params": s.params, "batch_stats": s.batch_stats})(states)
+        variables = jax.vmap(
+            lambda s: {"params": s.ema if use_ema else s.params,
+                       "batch_stats": s.batch_stats}
+        )(states)
         n_members = jax.tree.leaves(states.step)[0].shape[0]
         idx = jnp.asarray(head_indices if head_indices is not None else range(n_members))
+        val_steps = c.diffusion.val_ddim_steps or c.diffusion.ddim_steps
         tau = (
-            ddim_timesteps(self.sched.num_timesteps, c.diffusion.ddim_steps)
-            if c.diffusion.ddim_steps
+            ddim_timesteps(self.sched.num_timesteps, val_steps, c.diffusion.skip_type)
+            if val_steps
             else None
         )
 
@@ -396,7 +466,8 @@ class Runner:
             x_flat = images.reshape(images.shape[0], -1)
             return nested_ensemble_sample(
                 self.cond, variables, x_flat, y0_hat, key, self.sched,
-                mc_trials=mc_trials, tau=tau,
+                mc_trials=mc_trials, tau=tau, eta=c.diffusion.ddim_eta,
+                noise_prior=c.diffusion.noise_prior,
             )
 
         correct = total = 0

@@ -33,6 +33,14 @@ def build_parser():
     p.add_argument("--num_classes", type=int, default=2)
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--out", type=str, default="./models")
+    # backbone geometry — must match the stage-1a run (see train_transformer)
+    p.add_argument("--image_size", type=int, default=224)
+    p.add_argument("--patch_size", type=int, default=16)
+    p.add_argument("--embed_dim", type=int, default=768)
+    p.add_argument("--depth", type=int, default=12)
+    p.add_argument("--num_heads", type=int, default=12)
+    p.add_argument("--mlp_hidden_dims", type=int, nargs="*", default=None,
+                   help="mapping-MLP hidden widths (default 4096 2048 128)")
     p.add_argument("--demo", action="store_true")
     p.add_argument("--cpu", action="store_true")
     return p
@@ -62,8 +70,9 @@ def main(argv=None) -> int:
         mlp_dims = (16, 8, 8)
         args.epochs = min(args.epochs, 3)
     else:
-        img, patch, embed, heads, depth = 224, 16, 768, 12, 12
-        mlp_dims = (4096, 2048, 128)
+        img, patch, embed = args.image_size, args.patch_size, args.embed_dim
+        heads, depth = args.num_heads, args.depth
+        mlp_dims = tuple(args.mlp_hidden_dims) if args.mlp_hidden_dims else (4096, 2048, 128)
 
     vit = ViT(num_classes=args.num_classes, img_size=img, patch_size=patch,
               embed_dim=embed, depth=depth, num_heads=heads)

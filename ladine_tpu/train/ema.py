@@ -3,9 +3,11 @@
 Parity with /root/reference/diffusion/ema.py:3-33 (shadow = mu * shadow +
 (1 - mu) * param, registered at init, updated each step). The reference
 never checkpoints nor applies the EMA at eval (SURVEY.md C6); we keep the
-EMA inside the train state so it IS checkpointed, and expose
-``ema_params`` for opt-in evaluation — documented deviation that fixes the
-reference's gap while defaulting to reference behavior (eval on raw params).
+EMA inside the train state (``MemberTrainState.ema``) so it IS checkpointed,
+and ``--eval_ema`` evaluates/validates the shadow weights
+(``Runner._validate(use_ema=...)`` / ``Runner.load_members_from_train_ckpt``)
+— documented deviation that fixes the reference's gap while defaulting to
+reference behavior (eval on raw params).
 """
 
 from __future__ import annotations

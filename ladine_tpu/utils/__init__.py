@@ -1,3 +1,9 @@
+from ladine_tpu.utils.assemble import (
+    assemble_guidance,
+    export_guidance_stage1,
+    split_guidance,
+    validate_guidance_tree,
+)
 from ladine_tpu.utils.checkpoint import (
     best_checkpoint_name,
     load_checkpoint,

@@ -1,0 +1,144 @@
+"""Decompose the serving (DDIM-50) batch time into its components on real
+hardware — the tool for VERDICT r1 Weak #4 ("serving fixed cost unexplained").
+
+Times, as multi-second aggregates (tunnel-safe):
+  guidance   — SEViT guidance forward alone (ViT taps + full + 5 MLP heads)
+  encode     — member-vmapped image-feature GEMMs alone
+  scan-only  — nested_ensemble_sample with PRECOMPUTED y0_hat (no guidance)
+  full       — guidance + sampling, the bench.py workload
+  vit-only   — bare ViT full forward (no taps, no MLP heads)
+
+full - scan_only ~= guidance; scan_only - scan_flops_est = per-step overhead.
+
+Usage: python scripts/profile_serving.py [--ddim 50] [--reps 10] [--batch 70]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def timeit(fn, reps, *args):
+    import jax
+
+    out = fn(*args)
+    jax.block_until_ready(out)  # compile
+    t0 = time.time()
+    for _ in range(reps):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    return (time.time() - t0) / reps
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--ddim", type=int, default=50)
+    ap.add_argument("--eta", type=float, default=1.0)
+    ap.add_argument("--batch", type=int, default=70)
+    ap.add_argument("--trials", type=int, default=20)
+    ap.add_argument("--members", type=int, default=5)
+    ap.add_argument("--reps", type=int, default=10)
+    ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--tiny", action="store_true")
+    args = ap.parse_args()
+
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    else:
+        try:
+            cur = jax.config.jax_platforms or "axon"
+            if "cpu" not in cur:
+                jax.config.update("jax_platforms", cur + ",cpu")
+        except Exception:
+            pass
+    import jax.numpy as jnp
+
+    from ladine_tpu.infer import nested_ensemble_sample
+    from ladine_tpu.models import ConditionalModel, SEViTGuidance
+    from ladine_tpu.ops import DiffusionSchedule, ddim_timesteps
+
+    if args.tiny:
+        img, patch, embed, heads_n, depth = 32, 8, 32, 4, args.members
+        feat = 64
+        mlp_dims = (64, 32, 16)
+        args.batch, args.trials = 8, 4
+        T = 50
+    else:
+        img, patch, embed, heads_n, depth = 224, 16, 768, 12, 12
+        feat = 4096
+        mlp_dims = (4096, 2048, 128)
+        T = 1000
+
+    dtype = None if args.cpu else jnp.bfloat16
+    M, B, K = args.members, args.batch, args.trials
+    guidance = SEViTGuidance(num_classes=2, num_members=M, vit_depth=depth,
+                             img_size=img, patch_size=patch, embed_dim=embed,
+                             num_heads=heads_n, mlp_hidden_dims=mlp_dims, dtype=dtype)
+    cond = ConditionalModel(data_dim=img * img * 3, feature_dim=feat,
+                            hidden_dim=feat, y_dim=2, n_steps=T + 1, dtype=dtype)
+    sched = DiffusionSchedule.create("linear", T, 1e-4, 0.02)
+    tau = ddim_timesteps(T, args.ddim)
+
+    pdtype = jnp.bfloat16 if dtype is not None else jnp.float32
+    images = jax.random.uniform(jax.random.PRNGKey(0), (B, img, img, 3), jnp.float32)
+
+    def materialize(shapes, scale=0.02):
+        i = [0]
+
+        def fill(s):
+            i[0] += 1
+            val = scale * ((i[0] % 7) - 3) / 3.0
+            return jnp.full(s.shape, val, pdtype if s.dtype == jnp.float32 else s.dtype)
+
+        return jax.tree.map(fill, shapes)
+
+    gvars = materialize(jax.eval_shape(lambda: guidance.init(jax.random.PRNGKey(1), images[:1])))
+    one = materialize(jax.eval_shape(
+        lambda: cond.init(jax.random.PRNGKey(2), jnp.zeros((1, img * img * 3)),
+                          jnp.zeros((1, 2)), jnp.asarray(0), jnp.full((1, 2), 0.5))))
+    stacked = dict(jax.tree.map(lambda x: jnp.broadcast_to(x, (M,) + x.shape), one))
+    stacked["batch_stats"] = jax.tree.map(lambda x: jnp.abs(x) + 1.0, stacked["batch_stats"])
+
+    x_flat = images.reshape(B, -1)
+    y0_hat = jnp.full((M, B, 2), 0.5, jnp.float32)
+    key = jax.random.PRNGKey(3)
+
+    g_fn = jax.jit(lambda g, im: guidance.apply(g, im))
+    vit_fn = jax.jit(lambda g, im: guidance.apply(g, im, method="vit_logits"))
+    enc_fn = jax.jit(jax.vmap(lambda v: cond.apply(v, x_flat, method="encode")))
+    scan_fn = jax.jit(lambda s, yh, k: nested_ensemble_sample(
+        cond, s, x_flat, yh, k, sched, mc_trials=K, tau=tau, eta=args.eta))
+
+    def full_fn(g, s, im, k):
+        heads = guidance.apply(g, im)
+        yh = jax.nn.softmax(heads.astype(jnp.float32), axis=-1)[:M]
+        return nested_ensemble_sample(cond, s, im.reshape(B, -1), yh, k, sched,
+                                      mc_trials=K, tau=tau, eta=args.eta)
+
+    full_jit = jax.jit(full_fn)
+
+    results = {}
+    for name, fn, fargs in [
+        ("vit_only_ms", vit_fn, (gvars, images)),
+        ("guidance_ms", g_fn, (gvars, images)),
+        ("encode_ms", enc_fn, (stacked,)),
+        ("scan_only_ms", scan_fn, (stacked, y0_hat, key)),
+        ("full_ms", full_jit, (gvars, stacked, images, key)),
+    ]:
+        t = timeit(fn, args.reps, *fargs) * 1e3
+        results[name] = round(t, 2)
+        print(f"[profile] {name}: {t:.2f} ms", file=sys.stderr)
+
+    results["fixed_cost_ms"] = round(results["full_ms"] - results["scan_only_ms"], 2)
+    results["batch"] = B
+    results["img_per_sec_full"] = round(B / (results["full_ms"] / 1e3), 1)
+    print(json.dumps(results))
+
+
+if __name__ == "__main__":
+    main()

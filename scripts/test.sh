@@ -34,7 +34,11 @@ args=(
   --bf16
 )
 [[ -n "$ATTACK_NAME" ]] && args+=(--attack_name "$ATTACK_NAME" --epsilon "$EPSILON")
+# DIFFUSION_CKPT may be ONE training checkpoint (exp/logs/<run>/diffu_all*,
+# which also carries the guidance) or K per-member variable checkpoints
 [[ -n "${DIFFUSION_CKPT:-}" ]] && args+=(--diffusion_ckpt $DIFFUSION_CKPT)
 [[ -n "${GUIDANCE_CKPT:-}" ]] && args+=(--guidance_ckpt "$GUIDANCE_CKPT")
+[[ -n "${VIT_CKPT:-}" ]] && args+=(--vit_ckpt "$VIT_CKPT" --mlp_ckpt_dir "${MLP_CKPT_DIR:?}")
+[[ -n "${EVAL_EMA:-}" ]] && args+=(--eval_ema)
 
 python -m ladine_tpu.cli.main "${args[@]}"

@@ -11,6 +11,10 @@ SEED="${SEED:-4444}"
 TMP_NAME="${TMP_NAME:-run0}"
 CONFIG="${CONFIG:-}"
 GUIDANCE_CKPT="${GUIDANCE_CKPT:-}"
+# stage-1 artifacts (scripts/stage1.sh layout): assembled into the guidance
+# in place — the reference's make_files.sh handoff
+VIT_CKPT="${VIT_CKPT:-./models/vit_${DATASET}}"
+MLP_CKPT_DIR="${MLP_CKPT_DIR:-./models/${DATASET}/MLPs}"
 
 args=(
   --train
@@ -20,6 +24,13 @@ args=(
   --bf16
 )
 [[ -n "$CONFIG" ]] && args+=(--config "$CONFIG")
-[[ -n "$GUIDANCE_CKPT" ]] && args+=(--guidance_ckpt "$GUIDANCE_CKPT")
+if [[ -n "$GUIDANCE_CKPT" ]]; then
+  args+=(--guidance_ckpt "$GUIDANCE_CKPT")
+elif [[ -d "$VIT_CKPT" && -d "$MLP_CKPT_DIR" ]]; then
+  args+=(--vit_ckpt "$VIT_CKPT" --mlp_ckpt_dir "$MLP_CKPT_DIR")
+else
+  echo "warning: no stage-1 checkpoints at $VIT_CKPT / $MLP_CKPT_DIR and no" \
+       "GUIDANCE_CKPT set; training against a randomly-initialized guidance" >&2
+fi
 
 python -m ladine_tpu.cli.main "${args[@]}"
