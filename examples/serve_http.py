@@ -96,7 +96,7 @@ def main():
                 with lock:
                     out = predictor.predict(images)
                 self._json(200, {k: v.tolist() for k, v in out.items()})
-            except (KeyError, ValueError, json.JSONDecodeError) as e:
+            except (KeyError, TypeError, ValueError, json.JSONDecodeError) as e:
                 self._json(400, {"error": f"{type(e).__name__}: {e}"})
 
         def log_message(self, *a):

@@ -60,9 +60,23 @@ class DiffusionConfig:
     trained_diffusion_ckpt_path: List[str] = field(default_factory=list)
     aux_cls_arch: str = "sevit"
     num_members: int = 5
+    # reference --noise_prior (main.py:83-86,189): zero prior mean at T
+    # instead of the guidance prediction, through BOTH q_sample and the
+    # reverse chain (used by the tune_T/test_image_task paths,
+    # classification_train_separately.py:1565,1654)
+    noise_prior: bool = False
     # TPU addition: strided sampler (0 = full ancestral, reference behavior)
     ddim_steps: int = 0
-    ddim_eta: float = 0.0
+    # eta=1 (stochastic strided) is the default: eta=0 collapses per-chain
+    # randomness to the y_T draw and measurably degrades the MC vote
+    # posterior (GMM validation, examples/gmm_posterior.py); unused when
+    # ddim_steps == 0
+    ddim_eta: float = 1.0
+    # validation-only sampler stride during training (0 = use ddim_steps);
+    # the full 1000-step chain makes every 10th epoch cost ~a test pass
+    val_ddim_steps: int = 0
+    # DDIM-heritage --skip_type (main.py:133-139): uniform | quad
+    skip_type: str = "uniform"
 
 
 @dataclass

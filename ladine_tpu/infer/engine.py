@@ -52,18 +52,22 @@ def member_mc_sample(
     use_pallas_eps: bool = False,
     use_int8_eps: bool = False,
     unroll: int = 1,
+    noise_prior: bool = False,
 ) -> jnp.ndarray:
     """MC samples from ONE member's reverse chain: (mc_trials, B, y_dim).
 
     Encoder features are computed once here — outside both the trial vmap and
     the timestep scan (the reference recomputes them 1000x per trial).
-    y_T_mean == y0_hat, matching classification_train_separately.py:772-777.
+    y_T_mean == y0_hat, matching classification_train_separately.py:772-777;
+    with ``noise_prior`` the prior mean is zero while the y0_hat conditioning
+    stays (reference --noise_prior, classification_train_separately.py:1654).
     ``use_pallas_eps`` swaps the scan body for the fully-fused Pallas kernel
     path (kernels/fused_eps.py). Measured on v5e at full LaDiNE shapes the
     XLA path sustains ~72% bf16 peak and the Pallas path is ~4x slower
     (vmap over members fragments the kernel grid), so the default is off.
     """
     f = model.apply(member_vars, x_flat, method="encode")
+    y_T_mean = jnp.zeros_like(y0_hat) if noise_prior else y0_hat
 
     if use_int8_eps:
         from ladine_tpu.kernels.int8 import int8_eps, quantize_member
@@ -86,8 +90,8 @@ def member_mc_sample(
 
     def one_trial(k):
         if tau is None:
-            return p_sample_loop(eps_fn, y0_hat, sched, k, unroll=unroll)
-        return ddim_sample_loop(eps_fn, y0_hat, sched, k, tau, eta)
+            return p_sample_loop(eps_fn, y_T_mean, sched, k, unroll=unroll)
+        return ddim_sample_loop(eps_fn, y_T_mean, sched, k, tau, eta)
 
     return jax.vmap(one_trial)(jax.random.split(key, mc_trials))
 
@@ -105,6 +109,7 @@ def nested_ensemble_sample(
     use_pallas_eps: bool = False,
     use_int8_eps: bool = False,
     unroll: int = 1,
+    noise_prior: bool = False,
 ) -> jnp.ndarray:
     """Draw all members' MC samples in one shot: (M, mc_trials, B, y_dim).
 
@@ -130,6 +135,7 @@ def nested_ensemble_sample(
         use_pallas_eps=use_pallas_eps,
         use_int8_eps=use_int8_eps,
         unroll=unroll,
+        noise_prior=noise_prior,
     )
     return jax.vmap(lambda v, yh, k: fn(v, x_flat, yh, k))(
         stacked_vars, y0_hat_members, member_keys

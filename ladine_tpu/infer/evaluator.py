@@ -59,7 +59,11 @@ class EvalConfig:
     attack_name: Optional[str] = None
     attack_eps: float = 0.03
     ddim_steps: int = 0  # 0 = full ancestral chain (reference behavior)
-    ddim_eta: float = 0.0  # stochasticity of the strided sampler
+    # eta=1 preserves the MC vote posterior under striding (eta=0 collapses
+    # per-chain randomness to the y_T draw); unused when ddim_steps == 0
+    ddim_eta: float = 1.0
+    skip_type: str = "uniform"  # strided timestep spacing: uniform | quad
+    noise_prior: bool = False  # zero prior mean at T (reference --noise_prior)
     # indices into the guidance heads AND the (full) stacked member variables
     # (the reference loads 6 members but runs selected_block_indices=[0..4],
     # classification_train_separately.py:275, 767-769); None = first
@@ -83,7 +87,11 @@ def make_eval_pipeline(
     variables and the batch axis of the images are sharded; GSPMD inserts
     the collectives."""
     num_members = guidance.num_members
-    tau = ddim_timesteps(sched.num_timesteps, cfg.ddim_steps) if cfg.ddim_steps else None
+    tau = (
+        ddim_timesteps(sched.num_timesteps, cfg.ddim_steps, cfg.skip_type)
+        if cfg.ddim_steps
+        else None
+    )
     attack = (
         make_attack(
             cfg.attack_name,
@@ -123,6 +131,7 @@ def make_eval_pipeline(
         return nested_ensemble_sample(
             model, vars_run, x_flat, y0_hat, k_sample, sched,
             mc_trials=cfg.mc_trials, tau=tau, eta=cfg.ddim_eta, unroll=cfg.unroll,
+            noise_prior=cfg.noise_prior,
         )
 
     if mesh is None:
@@ -154,7 +163,14 @@ def make_eval_pipeline(
                 in_shardings=(vars_shard, data, data, rep),
                 out_shardings=out,
             )
-        return cache["fn"](stacked_vars, images, labels, key)
+        # variables arriving with OTHER shardings (e.g. FSDP-trained state)
+        # are resharded to member sharding once and cached
+        if cache.get("vars_id") != id(stacked_vars):
+            cache["vars"] = jax.tree.map(
+                lambda x: jax.device_put(x, member), stacked_vars
+            )
+            cache["vars_id"] = id(stacked_vars)
+        return cache["fn"](cache["vars"], images, labels, key)
 
     return jitted
 

@@ -47,6 +47,8 @@ class Predictor:
     # degrades the MC posterior estimate (GMM validation: eta=0 MAE 0.036-
     # 0.043 vs eta=1 MAE 0.012 at 20-50 steps, ancestral 0.014)
     ddim_eta: float = 1.0
+    skip_type: str = "uniform"  # strided timestep spacing: uniform | quad
+    noise_prior: bool = False  # zero prior mean at T (reference --noise_prior)
     use_int8: bool = False
     seed: int = 0
     # which guidance heads condition the stacked members; None = heads
@@ -55,7 +57,7 @@ class Predictor:
 
     def __post_init__(self):
         self._tau = (
-            ddim_timesteps(self.sched.num_timesteps, self.ddim_steps)
+            ddim_timesteps(self.sched.num_timesteps, self.ddim_steps, self.skip_type)
             if self.ddim_steps
             else None
         )
@@ -67,6 +69,16 @@ class Predictor:
             raise ValueError(
                 f"head_indices {self.head_indices} must match the {n_stacked} stacked members"
             )
+        # JAX gather clamps out-of-range indices, which would silently
+        # condition on the wrong head — validate eagerly instead
+        n_heads = self.guidance.num_members + 1
+        if self.head_indices is not None and any(
+            not 0 <= int(i) < n_heads for i in self.head_indices
+        ):
+            raise ValueError(
+                f"head_indices {self.head_indices} out of range: the guidance "
+                f"has {n_heads} heads (0..{n_heads - 1})"
+            )
 
         @jax.jit
         def _run(gvars, stacked, images, key):
@@ -76,7 +88,7 @@ class Predictor:
             samples = nested_ensemble_sample(
                 self.model, stacked, x_flat, y0_hat, key, self.sched,
                 mc_trials=self.mc_trials, tau=self._tau, eta=self.ddim_eta,
-                use_int8_eps=self.use_int8,
+                use_int8_eps=self.use_int8, noise_prior=self.noise_prior,
             )
             m, k, b, c = samples.shape
             flat = samples.reshape(m * k, b, c)
@@ -127,6 +139,8 @@ class Predictor:
             "mc_trials": self.mc_trials,
             "ddim_steps": self.ddim_steps,
             "ddim_eta": self.ddim_eta,
+            "skip_type": self.skip_type,
+            "noise_prior": self.noise_prior,
             "use_int8": self.use_int8,
             "head_indices": list(self.head_indices) if self.head_indices else None,
             "guidance": {
@@ -184,9 +198,23 @@ class Predictor:
             **{k: jnp.asarray(v) for k, v in tree["schedule"].items()}
         )
         hi = meta.get("head_indices")
+        if "ddim_eta" not in meta:
+            # legacy artifacts (saved before ddim_eta existed) executed
+            # eta=0.0 and were calibrated under it — preserve that behavior
+            # rather than silently switching samplers (override via
+            # load(..., ddim_eta=...) to opt in to the new default)
+            import warnings
+
+            warnings.warn(
+                f"predictor artifact {path} predates ddim_eta; defaulting to "
+                "the legacy eta=0.0 it was saved under",
+                stacklevel=2,
+            )
         kwargs = dict(
             temperature=meta["temperature"], mc_trials=meta["mc_trials"],
-            ddim_steps=meta["ddim_steps"], ddim_eta=meta.get("ddim_eta", 1.0),
+            ddim_steps=meta["ddim_steps"], ddim_eta=meta.get("ddim_eta", 0.0),
+            skip_type=meta.get("skip_type", "uniform"),
+            noise_prior=meta.get("noise_prior", False),
             use_int8=meta["use_int8"],
             head_indices=tuple(hi) if hi else None,
         )

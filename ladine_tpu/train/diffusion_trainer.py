@@ -86,9 +86,16 @@ def make_member_step(
     tx: optax.GradientTransformation,
     sched: DiffusionSchedule,
     ema_rate: float = 0.9999,
+    noise_prior: bool = False,
 ) -> Callable:
     """One member's training step: (state, x_flat, y0, y0_hat, key) ->
-    (state, loss). Pure — vmap/jit/shard freely."""
+    (state, loss). Pure — vmap/jit/shard freely.
+
+    ``noise_prior`` zeroes the forward-process prior mean while keeping the
+    y0_hat conditioning — the reference flag applies this at sampling
+    (classification_train_separately.py:1565,1654); applying it in training
+    too keeps the forward/reverse processes consistent (the reference's live
+    train loop never consults the flag, :963-968)."""
 
     def step(
         state: MemberTrainState,
@@ -101,7 +108,8 @@ def make_member_step(
         k_t, k_e = jax.random.split(key)
         t = antithetic_timesteps(k_t, n, sched.num_timesteps)
         e = jax.random.normal(k_e, y0.shape, y0.dtype)
-        y_t = q_sample(y0, y0_hat, sched, t, e)
+        y_T_mean = jnp.zeros_like(y0_hat) if noise_prior else y0_hat
+        y_t = q_sample(y0, y_T_mean, sched, t, e)
 
         def loss_fn(params):
             eps_pred, mutated = model.apply(
@@ -138,11 +146,12 @@ def make_multi_member_step(
     tx: optax.GradientTransformation,
     sched: DiffusionSchedule,
     ema_rate: float = 0.9999,
+    noise_prior: bool = False,
 ) -> Callable:
     """All members advance on the same batch, each conditioned on its own
     guidance head: (stacked_state, x_flat, y0, y0_hat_members (M,B,C), key)
     -> (stacked_state, losses (M,))."""
-    member_step = make_member_step(model, tx, sched, ema_rate)
+    member_step = make_member_step(model, tx, sched, ema_rate, noise_prior)
 
     def step(states, x_flat, y0, y0_hat_members, key):
         keys = jax.random.split(key, y0_hat_members.shape[0])
@@ -163,6 +172,7 @@ def make_joint_train_step(
     num_classes: int,
     ema_rate: float = 0.9999,
     head_indices: Optional[Tuple[int, ...]] = None,
+    noise_prior: bool = False,
 ) -> Callable:
     """Joint training: diffusion members + the guidance classifier together.
 
@@ -175,7 +185,7 @@ def make_joint_train_step(
     (state_tuple, images, labels, key) -> (state_tuple, (aux_loss, losses))
     where state_tuple = (member_states, guidance_params, aux_opt_state).
     """
-    multi_step = make_multi_member_step(model, tx, sched, ema_rate)
+    multi_step = make_multi_member_step(model, tx, sched, ema_rate, noise_prior)
     idx = jnp.asarray(head_indices if head_indices is not None else range(num_members))
 
     def aux_loss_fn(gparams, images, labels):
@@ -208,6 +218,7 @@ def make_full_train_step(
     num_classes: int,
     ema_rate: float = 0.9999,
     head_indices: Optional[Tuple[int, ...]] = None,
+    noise_prior: bool = False,
 ) -> Callable:
     """The COMPLETE jittable training step: images -> frozen SEViT guidance
     (stop-gradient) -> diffusion updates for every trained member.
@@ -218,7 +229,7 @@ def make_full_train_step(
 
     (stacked_state, images NHWC, labels, key) -> (stacked_state, losses (M,))
     """
-    multi_step = make_multi_member_step(model, tx, sched, ema_rate)
+    multi_step = make_multi_member_step(model, tx, sched, ema_rate, noise_prior)
     idx = jnp.asarray(head_indices if head_indices is not None else range(num_members))
 
     def step(states, images, labels, key):
