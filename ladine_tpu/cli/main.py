@@ -309,20 +309,37 @@ def main(argv=None) -> int:
         return 0
 
     if args.test or args.calib:
-        # a single --diffusion_ckpt that is a TRAINING checkpoint (diffu_all*)
-        # carries the stacked members AND the guidance they were trained
-        # against — the natural train -> test handoff
-        train_ckpt = None
-        if args.diffusion_ckpt and len(args.diffusion_ckpt) == 1:
-            meta_p = os.path.join(args.diffusion_ckpt[0], "ladine_meta.json")
-            if os.path.exists(meta_p):
-                with open(meta_p) as f:
-                    if json.load(f).get("kind") == "diffusion_members":
-                        train_ckpt = args.diffusion_ckpt[0]
-        if train_ckpt:
-            stacked, g_tree = runner.load_members_from_train_ckpt(
-                train_ckpt, use_ema=args.eval_ema
+        # --diffusion_ckpt TRAINING checkpoints (diffu_all* / diffu{k}*)
+        # carry members AND the guidance they were trained against — the
+        # natural train -> test handoff. One all-member ckpt, or several
+        # single-member ckpts in head order (the reference's MLP_IDX
+        # workflow, classification_train_separately.py:684-691).
+        def _is_train_ckpt(p):
+            meta_p = os.path.join(p, "ladine_meta.json")
+            if not os.path.exists(meta_p):
+                return False
+            with open(meta_p) as f:
+                return json.load(f).get("kind") == "diffusion_members"
+
+        train_ckpts = (
+            args.diffusion_ckpt
+            if args.diffusion_ckpt and all(_is_train_ckpt(p) for p in args.diffusion_ckpt)
+            else None
+        )
+        if train_ckpts:
+            stacked, g_tree = runner.load_members_from_train_ckpts(
+                train_ckpts, use_ema=args.eval_ema
             )
+            # a PARTIAL ensemble (e.g. two --mlp_idx runs): condition the n
+            # stacked members on guidance heads 0..n-1
+            n_stacked = jax.tree.leaves(stacked)[0].shape[0]
+            if (n_stacked != cfg.diffusion.num_members
+                    and eval_cfg.selected_members is None):
+                import dataclasses as _dc
+
+                eval_cfg = _dc.replace(
+                    eval_cfg, selected_members=tuple(range(n_stacked))
+                )
             if args.guidance_ckpt or args.vit_ckpt:
                 gvars = runner.init_guidance(jax.random.PRNGKey(0), args.guidance_ckpt,
                                              vit_ckpt=args.vit_ckpt,

@@ -228,6 +228,24 @@ class Runner:
         )
         return variables, tree.get("guidance")
 
+    def load_members_from_train_ckpts(self, paths, use_ema: bool = False):
+        """Stack members from SEVERAL training checkpoints — the reference's
+        per-member workflow (train.sh runs main.py five times with
+        MLP_IDX=0..4; the YAML then lists five diffu{k} ckpts,
+        classification_train_separately.py:684-691). Order = guidance-head
+        order. Guidance comes from the first checkpoint (all members share
+        the frozen stage-1 guidance)."""
+        parts, gvars = [], None
+        for p in paths:
+            variables, g = self.load_members_from_train_ckpt(p, use_ema=use_ema)
+            parts.append(variables)
+            if gvars is None:
+                gvars = g
+        stacked = jax.tree.map(lambda *xs: jnp.concatenate(xs, axis=0), *parts)
+        n = jax.tree.leaves(stacked)[0].shape[0]
+        self.logger.info(f"stacked {n} members from {len(paths)} training ckpts")
+        return stacked, gvars
+
     # ------------------------------------------------------------ train
 
     def train(self, key: jax.Array, guidance_ckpt: Optional[str] = None,

@@ -62,13 +62,24 @@ class SEViTGuidance(nn.Module):
             for i in range(self.num_members)
         ]
 
+    def _mlp_heads(self, taps) -> jnp.ndarray:
+        """All K mapping heads, (K, B, C).
+
+        A member-batched GEMM formulation (stack the K MLPs' params and bmm)
+        was tried and REVERTED: stacking materializes a +6.2 GB copy of the
+        MLP weights inside every guidance call on the full-size model (each
+        first-layer kernel is 1.23 GB bf16), OOM-ing a 16 GB chip, while the
+        win was bounded by the ~7.5 ms weight-streaming floor the batched
+        form shares. Profile evidence in docs/ROADMAP.md (serving
+        fixed-cost breakdown)."""
+        return jnp.stack([mlp(tap) for mlp, tap in zip(self.mlps, taps)], axis=0)
+
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         """(B, H, W, 3) -> (num_members + 1, B, num_classes) guidance logits."""
         depths = tuple(range(1, self.num_members + 1))
         vit_logits, taps = self.vit.forward_with_taps(x, depths)
-        heads = [mlp(tap) for mlp, tap in zip(self.mlps, taps)]
-        heads.append(vit_logits)
-        return jnp.stack(heads, axis=0)
+        heads = self._mlp_heads(taps)
+        return jnp.concatenate([heads, vit_logits[None]], axis=0)
 
     def vit_logits(self, x: jnp.ndarray) -> jnp.ndarray:
         """Full ViT forward only — the attack surface for white-box attacks
@@ -79,4 +90,4 @@ class SEViTGuidance(nn.Module):
         """Mapping heads only: (num_members, B, num_classes)."""
         depths = tuple(range(1, self.num_members + 1))
         taps = self.vit.tap_features(x, depths)
-        return jnp.stack([mlp(tap) for mlp, tap in zip(self.mlps, taps)], axis=0)
+        return self._mlp_heads(taps)

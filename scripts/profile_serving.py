@@ -21,15 +21,19 @@ import sys
 import time
 
 
-def timeit(fn, reps, *args):
+def timeit(fn, reps, argsets):
+    """argsets: list of distinct argument tuples, cycled — identical
+    repeated dispatches can be elided/deduped by the remote runtime, so
+    every rep gets different inputs."""
     import jax
 
-    out = fn(*args)
+    out = fn(*argsets[0])
     jax.block_until_ready(out)  # compile
+    outs = []
     t0 = time.time()
-    for _ in range(reps):
-        out = fn(*args)
-    jax.block_until_ready(out)
+    for i in range(reps):
+        outs.append(fn(*argsets[i % len(argsets)]))
+    jax.block_until_ready(outs)
     return (time.time() - t0) / reps
 
 
@@ -41,6 +45,8 @@ def main():
     ap.add_argument("--trials", type=int, default=20)
     ap.add_argument("--members", type=int, default=5)
     ap.add_argument("--reps", type=int, default=10)
+    ap.add_argument("--pallas", action="store_true",
+                    help="Pallas flash attention inside the guidance ViT")
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--tiny", action="store_true")
     args = ap.parse_args()
@@ -78,7 +84,8 @@ def main():
     M, B, K = args.members, args.batch, args.trials
     guidance = SEViTGuidance(num_classes=2, num_members=M, vit_depth=depth,
                              img_size=img, patch_size=patch, embed_dim=embed,
-                             num_heads=heads_n, mlp_hidden_dims=mlp_dims, dtype=dtype)
+                             num_heads=heads_n, mlp_hidden_dims=mlp_dims, dtype=dtype,
+                             use_pallas_attention=args.pallas)
     cond = ConditionalModel(data_dim=img * img * 3, feature_dim=feat,
                             hidden_dim=feat, y_dim=2, n_steps=T + 1, dtype=dtype)
     sched = DiffusionSchedule.create("linear", T, 1e-4, 0.02)
@@ -110,7 +117,7 @@ def main():
 
     g_fn = jax.jit(lambda g, im: guidance.apply(g, im))
     vit_fn = jax.jit(lambda g, im: guidance.apply(g, im, method="vit_logits"))
-    enc_fn = jax.jit(jax.vmap(lambda v: cond.apply(v, x_flat, method="encode")))
+    enc_fn = jax.jit(lambda s, xf: jax.vmap(lambda v: cond.apply(v, xf, method="encode"))(s))
     scan_fn = jax.jit(lambda s, yh, k: nested_ensemble_sample(
         cond, s, x_flat, yh, k, sched, mc_trials=K, tau=tau, eta=args.eta))
 
@@ -122,15 +129,23 @@ def main():
 
     full_jit = jax.jit(full_fn)
 
+    # distinct inputs per rep (identical dispatches get deduped remotely)
+    n_var = 8
+    img_vars = [images + (i + 1) * 1e-6 for i in range(n_var)]
+    yh_vars = [y0_hat + (i + 1) * 1e-7 for i in range(n_var)]
+    keys = list(jax.random.split(key, n_var))
+
     results = {}
-    for name, fn, fargs in [
-        ("vit_only_ms", vit_fn, (gvars, images)),
-        ("guidance_ms", g_fn, (gvars, images)),
-        ("encode_ms", enc_fn, (stacked,)),
-        ("scan_only_ms", scan_fn, (stacked, y0_hat, key)),
-        ("full_ms", full_jit, (gvars, stacked, images, key)),
+    # the cheap component fns need many more reps for a trustworthy
+    # multi-second aggregate through the tunnel (sub-ms timings lie)
+    for name, fn, argsets, mult in [
+        ("vit_only_ms", vit_fn, [(gvars, im) for im in img_vars], 40),
+        ("guidance_ms", g_fn, [(gvars, im) for im in img_vars], 40),
+        ("encode_ms", enc_fn, [(stacked, im.reshape(B, -1)) for im in img_vars], 20),
+        ("scan_only_ms", scan_fn, [(stacked, yh, k) for yh, k in zip(yh_vars, keys)], 1),
+        ("full_ms", full_jit, [(gvars, stacked, im, k) for im, k in zip(img_vars, keys)], 1),
     ]:
-        t = timeit(fn, args.reps, *fargs) * 1e3
+        t = timeit(fn, args.reps * mult, argsets) * 1e3
         results[name] = round(t, 2)
         print(f"[profile] {name}: {t:.2f} ms", file=sys.stderr)
 

@@ -1,0 +1,260 @@
+"""Full-pipeline evidence run on real hardware -> RESULTS.md.
+
+Runs the complete LaDiNE pipeline at PARITY dims (ViT-B/16, 150528->4096
+encoder, T=1000, 5 members, MC 20) on the synthetic 2-class 224x224 dataset
+(scripts/make_synth_medical.py), reproducing the reference's three-stage
+workflow end-to-end on one TPU chip:
+
+  stage 1a  ViT fine-tune                 (cli.train_transformer)
+  stage 1b  5 mapping MLPs                (cli.train_mapping)
+  stage 3   5 diffusion members, one per run (--mlp_idx k — the reference's
+            MLP_IDX workflow; 5 concurrent full-size members exceed one
+            chip's 16 GB, classification_train_separately.py trains them
+            separately too)
+  eval      calibration, clean test (full 1000-step chain AND DDIM-50),
+            EMA-eval variant, corruption sweep, FGSM/PGD attacks
+
+Each step is a subprocess (fresh HBM); steps are skipped when their outputs
+already exist, so the run is resumable. Writes RESULTS.md at the end.
+
+Usage: python scripts/run_results.py --work /tmp/results_run [--fast]
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def sh(args, log_path, env=None):
+    t0 = time.time()
+    print(f"[run] {' '.join(args)}", file=sys.stderr)
+    with open(log_path, "a") as f:
+        f.write(f"\n===== {' '.join(args)}\n")
+        f.flush()
+        res = subprocess.run(args, cwd=REPO, env=env, stdout=f,
+                             stderr=subprocess.STDOUT)
+    dt = time.time() - t0
+    print(f"[run] rc={res.returncode} ({dt:.0f}s)", file=sys.stderr)
+    if res.returncode != 0:
+        tail = open(log_path).read()[-3000:]
+        raise RuntimeError(f"step failed (rc={res.returncode}):\n{tail}")
+    return dt
+
+
+def last_json(log_path):
+    """The CLIs print one JSON summary line on stdout; grab the last one."""
+    out = None
+    for line in open(log_path):
+        line = line.strip()
+        if line.startswith("{") and line.endswith("}"):
+            try:
+                out = json.loads(line)
+            except json.JSONDecodeError:
+                pass
+    return out
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--work", type=str, default="/tmp/results_run")
+    ap.add_argument("--fast", action="store_true",
+                    help="fewer epochs / severities (smoke the orchestration)")
+    ap.add_argument("--tiny", action="store_true",
+                    help="tiny model dims (configs/synthetic_tiny.yml) — CPU smoke")
+    ap.add_argument("--cpu", action="store_true")
+    args = ap.parse_args()
+    if args.tiny:
+        args.fast = True
+
+    w = args.work
+    os.makedirs(w, exist_ok=True)
+    env = dict(os.environ)
+    if not args.cpu:
+        # persistent compile cache: the 5 per-member stage-3 runs share one
+        # program shape, so members 1-4 skip the slow remote TPU compile
+        env["JAX_COMPILATION_CACHE_DIR"] = os.path.join(w, "jaxcache")
+    py = [sys.executable]
+    cpu = ["--cpu"] if args.cpu else []
+    cfg = os.path.join(
+        REPO, "configs", "synthetic_tiny.yml" if args.tiny else "synthetic224.yml"
+    )
+    ds = os.path.join(w, "synth_ds")
+    models = os.path.join(w, "models")
+    exp = os.path.join(w, "exp")
+    log = os.path.join(w, "driver.log")
+    e1 = 2 if args.fast else 6
+    e3 = 4 if args.fast else 30
+    # stage-1 geometry must match the config (see configs/synthetic_tiny.yml)
+    dims = (["--image_size", "32", "--patch_size", "8", "--embed_dim", "32",
+             "--depth", "5", "--num_heads", "2"] if args.tiny else [])
+    mlp_dims_flag = (["--mlp_hidden_dims", "32", "16", "8"] if args.tiny else [])
+    timings = {}
+
+    # ---- dataset -------------------------------------------------------
+    if not os.path.isdir(os.path.join(ds, "testing")):
+        sh(py + [os.path.join(REPO, "scripts", "make_synth_medical.py"),
+                 "--out", ds, "--n", "60" if args.fast else "250"], log, env)
+
+    # ---- stage 1a ------------------------------------------------------
+    vit_ckpt = os.path.join(models, "vit_ChestXRay")
+    if not os.path.isdir(vit_ckpt):
+        timings["stage1a_s"] = sh(
+            py + ["-m", "ladine_tpu.cli.train_transformer", *cpu, *dims,
+                  "--dataset", "ChestXRay", "--dataroot", ds,
+                  "--epochs", str(e1), "--batch_size", "30", "--out", models],
+            log, env)
+    s1a = last_json(log)
+
+    # ---- stage 1b ------------------------------------------------------
+    mlp_dir = os.path.join(models, "ChestXRay", "MLPs")
+    if not os.path.isdir(mlp_dir):
+        timings["stage1b_s"] = sh(
+            py + ["-m", "ladine_tpu.cli.train_mapping", *cpu, *dims, *mlp_dims_flag,
+                  "--dataset", "ChestXRay", "--dataroot", ds,
+                  "--epochs", str(e1), "--batch_size", "30", "--out", models,
+                  "--vit_ckpt", vit_ckpt, "--num_members", "5"],
+            log, env)
+    s1b = last_json(log)
+
+    # ---- guidance accuracy ---------------------------------------------
+    g_log = os.path.join(w, "guid.log")
+    if not os.path.exists(g_log):
+        sh(py + ["-m", "ladine_tpu.cli.main", *cpu, "--eval_guidance",
+                 "--config", cfg, "--dataroot", ds, "--exp", exp, "--doc", "guid",
+                 "--vit_ckpt", vit_ckpt, "--mlp_ckpt_dir", mlp_dir], g_log, env)
+    guid = last_json(g_log)
+
+    # ---- stage 3: five members, one per invocation ----------------------
+    member_ckpts = []
+    for k in range(5):
+        doc = f"member{k}"
+        found = sorted(glob.glob(os.path.join(exp, "logs", doc, "diffu*_ckpt_best_*")))
+        found = [p for p in found if not p.endswith("_aux")]
+        if not found:
+            timings[f"stage3_m{k}_s"] = sh(
+                py + ["-m", "ladine_tpu.cli.main", *cpu, "--train",
+                      "--config", cfg, "--dataroot", ds, "--exp", exp, "--doc", doc,
+                      "--seed", str(1000 + k), "--mlp_idx", str(k),
+                      "--n_epochs", str(e3),
+                      "--vit_ckpt", vit_ckpt, "--mlp_ckpt_dir", mlp_dir],
+                log, env)
+            found = sorted(glob.glob(os.path.join(exp, "logs", doc, "diffu*_ckpt_best_*")))
+            found = [p for p in found if not p.endswith("_aux")]
+        member_ckpts.append(found[-1])
+
+    common = ["--config", cfg, "--dataroot", ds, "--exp", exp,
+              "--diffusion_ckpt", *member_ckpts,
+              "--guidance_ckpt" ]  # placeholder replaced below
+    # members carry the guidance they trained against; no guidance flag needed
+    common = ["--config", cfg, "--dataroot", ds, "--exp", exp,
+              "--diffusion_ckpt", *member_ckpts]
+
+    def eval_step(doc, extra):
+        rdir = os.path.join(exp, "logs", doc, "report.json")
+        if not os.path.exists(rdir):
+            sh(py + ["-m", "ladine_tpu.cli.main", *cpu, *extra, *common,
+                     "--doc", doc], log, env)
+        return json.load(open(rdir))
+
+    # ---- calibration (DDIM-50, cached-sample Nelder-Mead) ---------------
+    calib = eval_step("calib", ["--calib", "--ddim", "50", "--eta", "1.0"])
+    temp = calib["calibrated_temperature"]
+    tflag = ["--temperature", str(temp)]
+
+    # ---- clean test: the PARITY workload (full 1000-step chain) ---------
+    clean_full = eval_step("test_full", ["--test", *tflag])
+    # and the serving sampler
+    clean_d50 = eval_step("test_d50", ["--test", "--ddim", "50", "--eta", "1.0", *tflag])
+    # EMA weights
+    clean_ema = eval_step("test_ema", ["--test", "--ddim", "50", "--eta", "1.0",
+                                       "--eval_ema", *tflag])
+
+    # ---- corruptions (DDIM-50) ------------------------------------------
+    corr = {}
+    severities = [("noise", ["--noise_perturbation", "0.1"]),
+                  ("noise_hard", ["--noise_perturbation", "0.2"]),
+                  ("contrast", ["--contrast", "0.6"]),
+                  ("lowres", ["--low_resolution", "2"])]
+    if args.fast:
+        severities = severities[:1]
+    for name, flags in severities:
+        corr[name] = eval_step(f"test_{name}",
+                               ["--test", "--ddim", "50", "--eta", "1.0", *flags, *tflag])
+
+    # ---- attacks ---------------------------------------------------------
+    atk = {}
+    for name in (["FGSM"] if args.fast else ["FGSM", "PGD"]):
+        atk[name] = eval_step(f"test_atk_{name.lower()}",
+                              ["--test", "--ddim", "50", "--eta", "1.0",
+                               "--attack_name", name, "--epsilon", "0.03", *tflag])
+
+    # ---- RESULTS.md -------------------------------------------------------
+    def row(name, r):
+        return (f"| {name} | {r['mean_confidence_accuracy']:.2f} | "
+                f"{r['majority_vote_accuracy']:.2f} | {r['ece']:.4f} | "
+                f"{r['nll']:.4f} | {r['brier']:.4f} |")
+
+    import jax
+
+    platform = "cpu" if args.cpu else jax.devices()[0].platform
+    lines = [
+        "# RESULTS — full-pipeline evidence run (synthetic 224x224, parity dims)",
+        "",
+        "The image ships no ChestXRay/ISIC data or reference weights, so this run",
+        "uses the brightness-matched synthetic 2-class dataset",
+        "(`scripts/make_synth_medical.py`) at the FULL parity dimensions:",
+        "ViT-B/16 guidance, 5 mapping MLPs (150528->4096->2048->128), 5 CARD",
+        "members (150528->4096 encoder, T=1000), MC trials 20, test batch 70",
+        "(drop_last). Reproduce with `python scripts/run_results.py --work <dir>`.",
+        "",
+        f"Hardware: `{platform}` (one chip). Stages: 1a ViT fine-tune ({e1} ep),",
+        f"1b mapping MLPs ({e1} ep), 3 per-member diffusion training ({e3} ep,",
+        "the reference's MLP_IDX workflow), then calibration + robust evaluation",
+        "through the real checkpoints (no --pretrain_guidance shortcuts).",
+        "",
+        f"- stage-1a best val accuracy: **{(s1a or {}).get('best_val_accuracy', float('nan')):.2f}%**",
+        f"- stage-1b best val accuracies: {(s1b or {}).get('best_val_accuracies')}",
+        f"- guidance majority-vote accuracy: **{(guid or {}).get('majority_vote_accuracy', float('nan')):.2f}%**",
+        f"- calibrated temperature (cached-sample Nelder-Mead): **{temp:.4f}** "
+        f"(val ECE {calib['ece']:.4f})",
+        "",
+        "| evaluation | acc % | mv-acc % | ECE | NLL | Brier |",
+        "|---|---|---|---|---|---|",
+        row("clean, full 1000-step chain (parity workload)", clean_full),
+        row("clean, DDIM-50 eta=1 (serving sampler)", clean_d50),
+        row("clean, DDIM-50, EMA weights (--eval_ema)", clean_ema),
+    ]
+    for name, r in corr.items():
+        lines.append(row(f"corruption: {name}", r))
+    for name, r in atk.items():
+        lines.append(row(f"attack: {name} (eps 0.03, white-box ViT)", r))
+    lines += [
+        "",
+        "Step timings (s): " + json.dumps({k: round(v) for k, v in timings.items()}),
+        "",
+        "Notes:",
+        "- The full-chain and DDIM-50 rows should agree closely (sampler",
+        "  equivalence at eta=1; see examples/gmm_posterior.py for the",
+        "  statistical validation).",
+        "- EMA-vs-raw deltas are expected to be small at these epoch counts;",
+        "  the row demonstrates the --eval_ema path end-to-end.",
+        "- Attack rows measure robustness of the nested ensemble to white-box",
+        "  attacks on the ViT (the reference's test_atk protocol).",
+    ]
+    # tiny smoke writes into the work dir, never over the real evidence
+    out = os.path.join(w if args.tiny else REPO, "RESULTS.md")
+    with open(out, "w") as f:
+        f.write("\n".join(lines) + "\n")
+    print(f"wrote {out}")
+
+
+if __name__ == "__main__":
+    main()

@@ -184,6 +184,38 @@ def test_eval_ema_differs_from_raw(trained_ckpt, small_config, tmp_path):
     assert raw != ema
 
 
+def test_per_member_train_ckpts_stack(stage1_artifacts, small_config, tmp_path):
+    """The reference's MLP_IDX workflow: two --mlp_idx runs, then --test with
+    BOTH training checkpoints — members stack in head order and a partial
+    ensemble (2 of 5 heads) evaluates via selected_members."""
+    from ladine_tpu.cli.main import main
+
+    vit_ckpt, mlp_dir = stage1_artifacts
+    exp = str(tmp_path / "exp")
+    ckpts = []
+    for k in range(2):
+        rc = main([
+            "--train", "--config", small_config, "--cpu", "--exp", exp,
+            "--doc", f"m{k}", "--seed", str(20 + k), "--mlp_idx", str(k),
+            "--n_epochs", "2",
+            "--vit_ckpt", vit_ckpt, "--mlp_ckpt_dir", mlp_dir,
+        ])
+        assert rc == 0
+        log_dir = os.path.join(exp, "logs", f"m{k}")
+        found = [d for d in os.listdir(log_dir) if d.startswith("diffu")]
+        assert found
+        ckpts.append(os.path.join(log_dir, sorted(found)[-1]))
+
+    rc = main([
+        "--test", "--config", small_config, "--cpu", "--exp", exp, "--doc", "mt",
+        "--mc_trials", "2", "--ddim", "5", "--diffusion_ckpt", *ckpts,
+    ])
+    assert rc == 0
+    report = json.load(open(os.path.join(exp, "logs", "mt", "report.json")))
+    assert report["num_samples"] == 4  # 2 members x 2 trials
+    assert report["num_instances"] == 12
+
+
 def test_eval_ema_rejects_per_member_ckpts(small_config, tmp_path):
     from ladine_tpu.cli.main import main
 
