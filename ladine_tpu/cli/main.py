@@ -121,7 +121,8 @@ def build_parser() -> argparse.ArgumentParser:
                         "contrast=... | crop=...")
     # attacks
     p.add_argument("--attack_name", type=str, default=None,
-                   choices=["FGSM", "PGD", "BIM", "L2PGD", "CW", "AUTOPGD"])
+                   choices=["FGSM", "PGD", "BIM", "LinfBIM", "L2PGD", "CW",
+                            "AUTOPGD"])
     p.add_argument("--epsilon", type=float, default=0.03)
     # inference
     p.add_argument("--mc_trials", type=int, default=None)
@@ -129,6 +130,10 @@ def build_parser() -> argparse.ArgumentParser:
     # TPU
     p.add_argument("--bf16", action="store_true")
     p.add_argument("--pallas", action="store_true")
+    p.add_argument("--int8", action="store_true",
+                   help="with --test/--calib: int8 weights+activations for "
+                        "the two big eps matmuls (kernels/int8.py; "
+                        "EXPERIMENTAL — compare metrics against bf16)")
     p.add_argument("--fsdp", action="store_true",
                    help="shard params/optimizer state/EMA over the data axis "
                         "(full-size all-member training state exceeds one chip)")
@@ -218,6 +223,7 @@ def main(argv=None) -> int:
         ddim_eta=cfg.diffusion.ddim_eta,
         skip_type=cfg.diffusion.skip_type,
         noise_prior=cfg.diffusion.noise_prior,
+        use_int8=args.int8,
     )
 
     if args.eval_guidance:
@@ -258,8 +264,11 @@ def main(argv=None) -> int:
             else:
                 print("warning: no best checkpoint saved; exporting final-epoch "
                       "weights", file=sys.stderr)
+            # with --eval_ema the reported best_accuracy was measured on the
+            # EMA shadows — the exported artifact must serve the same weights
             variables = jax.vmap(
-                lambda s: {"params": s.params, "batch_stats": s.batch_stats}
+                lambda s: {"params": s.ema if args.eval_ema else s.params,
+                           "batch_stats": s.batch_stats}
             )(states)
             predictor = Predictor(
                 guidance=runner.guidance, guidance_vars=gvars,
@@ -327,19 +336,19 @@ def main(argv=None) -> int:
             else None
         )
         if train_ckpts:
-            stacked, g_tree = runner.load_members_from_train_ckpts(
+            stacked, g_tree, head_ids = runner.load_members_from_train_ckpts(
                 train_ckpts, use_ema=args.eval_ema
             )
-            # a PARTIAL ensemble (e.g. two --mlp_idx runs): condition the n
-            # stacked members on guidance heads 0..n-1
+            # condition each stacked member on the guidance head it was
+            # TRAINED against (--mlp_idx runs record member_idx in the ckpt
+            # metadata); legacy ckpts fall back to positional head order
             n_stacked = jax.tree.leaves(stacked)[0].shape[0]
-            if (n_stacked != cfg.diffusion.num_members
-                    and eval_cfg.selected_members is None):
+            if head_ids is None:
+                head_ids = tuple(range(n_stacked))
+            if tuple(head_ids) != tuple(range(cfg.diffusion.num_members)):
                 import dataclasses as _dc
 
-                eval_cfg = _dc.replace(
-                    eval_cfg, selected_members=tuple(range(n_stacked))
-                )
+                eval_cfg = _dc.replace(eval_cfg, head_indices=tuple(head_ids))
             if args.guidance_ckpt or args.vit_ckpt:
                 gvars = runner.init_guidance(jax.random.PRNGKey(0), args.guidance_ckpt,
                                              vit_ckpt=args.vit_ckpt,

@@ -30,7 +30,7 @@ def build_parser():
     p.add_argument("--dataroot", type=str, required=True)
     p.add_argument("--preprocess", type=str, default="grayscaled")
     p.add_argument("--attack_name", type=str, required=True,
-                   choices=["FGSM", "PGD", "BIM", "L2PGD", "CW", "AUTOPGD"])
+                   choices=["FGSM", "PGD", "BIM", "LinfBIM", "L2PGD", "CW", "AUTOPGD"])
     p.add_argument("--epsilon", type=float, default=0.03)
     p.add_argument("--guidance_ckpt", type=str, default=None)
     p.add_argument("--batch_size", type=int, default=32)

@@ -226,25 +226,38 @@ class Runner:
             f"loaded {n} trained members from {path}"
             + (" (EMA weights)" if use_ema else "")
         )
-        return variables, tree.get("guidance")
+        return variables, tree.get("guidance"), meta
 
     def load_members_from_train_ckpts(self, paths, use_ema: bool = False):
-        """Stack members from SEVERAL training checkpoints — the reference's
-        per-member workflow (train.sh runs main.py five times with
-        MLP_IDX=0..4; the YAML then lists five diffu{k} ckpts,
-        classification_train_separately.py:684-691). Order = guidance-head
-        order. Guidance comes from the first checkpoint (all members share
-        the frozen stage-1 guidance)."""
-        parts, gvars = [], None
+        """Stack members from one or SEVERAL training checkpoints — the
+        reference's per-member workflow (train.sh runs main.py five times
+        with MLP_IDX=0..4; the YAML then lists five diffu{k} ckpts,
+        classification_train_separately.py:684-691). Guidance comes from the
+        first checkpoint (all members share the frozen stage-1 guidance).
+
+        Returns (stacked_variables, guidance, head_indices): head_indices is
+        the guidance head each stacked member was TRAINED against (from the
+        ``member_idx`` checkpoint metadata), or None when unrecorded — the
+        caller then falls back to positional head order."""
+        parts, gvars, head_indices = [], None, []
         for p in paths:
-            variables, g = self.load_members_from_train_ckpt(p, use_ema=use_ema)
+            variables, g, meta = self.load_members_from_train_ckpt(p, use_ema=use_ema)
+            n_i = jax.tree.leaves(variables)[0].shape[0]
+            idx = meta.get("member_idx")
+            if idx is None and n_i == 1 and len(paths) > 1:
+                head_indices = None  # legacy single-member ckpt: unknown head
+            if head_indices is not None:
+                head_indices.extend([idx] if idx is not None else range(n_i))
             parts.append(variables)
             if gvars is None:
                 gvars = g
         stacked = jax.tree.map(lambda *xs: jnp.concatenate(xs, axis=0), *parts)
         n = jax.tree.leaves(stacked)[0].shape[0]
-        self.logger.info(f"stacked {n} members from {len(paths)} training ckpts")
-        return stacked, gvars
+        self.logger.info(
+            f"stacked {n} members from {len(paths)} training ckpts"
+            + (f" (guidance heads {head_indices})" if head_indices else "")
+        )
+        return stacked, gvars, tuple(head_indices) if head_indices else None
 
     # ------------------------------------------------------------ train
 
@@ -437,7 +450,10 @@ class Runner:
                     save_checkpoint(
                         path,
                         {"states": states, "guidance": gvars},
-                        {"epoch": epoch, "accuracy": acc, "kind": "diffusion_members"},
+                        {"epoch": epoch, "accuracy": acc, "kind": "diffusion_members",
+                         # which guidance head(s) the member(s) trained
+                         # against — eval must condition on the same heads
+                         "member_idx": member_idx},
                     )
                     if joint_train:
                         save_checkpoint(path + "_aux", {"aux_opt": aux_opt},

@@ -69,7 +69,14 @@ class EvalConfig:
     # classification_train_separately.py:275, 767-769); None = first
     # num_members heads with all stacked members
     selected_members: Optional[Tuple[int, ...]] = None
+    # guidance-head index per ALREADY-SELECTED stacked member (conditioning
+    # only — the member stack is used as-is). For partial ensembles from
+    # --mlp_idx runs: member i was trained against head head_indices[i].
+    # Mutually exclusive with selected_members.
+    head_indices: Optional[Tuple[int, ...]] = None
     unroll: int = 1  # reverse-scan unroll factor
+    # int8 weights+activations for the two big eps matmuls (kernels/int8.py)
+    use_int8: bool = False
 
 
 def make_eval_pipeline(
@@ -125,13 +132,17 @@ def make_eval_pipeline(
             y0_hat = y0_hat[idx]
             # slice the member axis of the stacked variables to match
             vars_run = jax.tree.map(lambda x: x[idx], stacked_vars)
+        elif cfg.head_indices is not None:
+            # partial ensemble: stacked members as-is, each conditioned on
+            # the head it was trained against
+            y0_hat = y0_hat[jnp.asarray(cfg.head_indices)]
         else:
             y0_hat = y0_hat[:num_members]
         x_flat = images.reshape(images.shape[0], -1)
         return nested_ensemble_sample(
             model, vars_run, x_flat, y0_hat, k_sample, sched,
             mc_trials=cfg.mc_trials, tau=tau, eta=cfg.ddim_eta, unroll=cfg.unroll,
-            noise_prior=cfg.noise_prior,
+            noise_prior=cfg.noise_prior, use_int8_eps=cfg.use_int8,
         )
 
     if mesh is None:
@@ -164,12 +175,13 @@ def make_eval_pipeline(
                 out_shardings=out,
             )
         # variables arriving with OTHER shardings (e.g. FSDP-trained state)
-        # are resharded to member sharding once and cached
-        if cache.get("vars_id") != id(stacked_vars):
+        # are resharded to member sharding once and cached; the source tree
+        # is retained so the identity check can't alias a recycled id()
+        if cache.get("vars_src") is not stacked_vars:
             cache["vars"] = jax.tree.map(
                 lambda x: jax.device_put(x, member), stacked_vars
             )
-            cache["vars_id"] = id(stacked_vars)
+            cache["vars_src"] = stacked_vars
         return cache["fn"](cache["vars"], images, labels, key)
 
     return jitted

@@ -90,7 +90,11 @@ def main():
     models = os.path.join(w, "models")
     exp = os.path.join(w, "exp")
     log = os.path.join(w, "driver.log")
-    e1 = 2 if args.fast else 6
+    # ViT-B from scratch needs real epoch counts to leave chance on 500
+    # images (the reference fine-tunes 200 epochs from pretrained weights;
+    # here there are no pretrained weights in the image). Epochs are ~6 s
+    # each on the chip once compiled.
+    e1 = 2 if args.fast else 80
     e3 = 4 if args.fast else 30
     # stage-1 geometry must match the config (see configs/synthetic_tiny.yml)
     dims = (["--image_size", "32", "--patch_size", "8", "--embed_dim", "32",
@@ -104,16 +108,20 @@ def main():
                  "--out", ds, "--n", "60" if args.fast else "250"], log, env)
 
     # ---- stage 1a ------------------------------------------------------
+    # per-stage logs: last_json must see THIS stage's summary even on a
+    # resumed run (a shared log's last JSON line belongs to a later stage)
+    s1a_log = os.path.join(w, "stage1a.log")
     vit_ckpt = os.path.join(models, "vit_ChestXRay")
     if not os.path.isdir(vit_ckpt):
         timings["stage1a_s"] = sh(
             py + ["-m", "ladine_tpu.cli.train_transformer", *cpu, *dims,
                   "--dataset", "ChestXRay", "--dataroot", ds,
                   "--epochs", str(e1), "--batch_size", "30", "--out", models],
-            log, env)
-    s1a = last_json(log)
+            s1a_log, env)
+    s1a = last_json(s1a_log) if os.path.exists(s1a_log) else None
 
     # ---- stage 1b ------------------------------------------------------
+    s1b_log = os.path.join(w, "stage1b.log")
     mlp_dir = os.path.join(models, "ChestXRay", "MLPs")
     if not os.path.isdir(mlp_dir):
         timings["stage1b_s"] = sh(
@@ -121,8 +129,8 @@ def main():
                   "--dataset", "ChestXRay", "--dataroot", ds,
                   "--epochs", str(e1), "--batch_size", "30", "--out", models,
                   "--vit_ckpt", vit_ckpt, "--num_members", "5"],
-            log, env)
-    s1b = last_json(log)
+            s1b_log, env)
+    s1b = last_json(s1b_log) if os.path.exists(s1b_log) else None
 
     # ---- guidance accuracy ---------------------------------------------
     g_log = os.path.join(w, "guid.log")
@@ -133,12 +141,21 @@ def main():
     guid = last_json(g_log)
 
     # ---- stage 3: five members, one per invocation ----------------------
+    def best_ckpt(doc):
+        """Numerically newest best checkpoint (lexicographic sort misorders
+        eph9 vs eph12)."""
+        import re
+
+        found = [p for p in glob.glob(os.path.join(exp, "logs", doc, "diffu*_ckpt_best_*"))
+                 if not p.endswith("_aux")]
+        return max(found, default=None,
+                   key=lambda p: int(re.search(r"_eph(\d+)_", p).group(1)))
+
     member_ckpts = []
     for k in range(5):
         doc = f"member{k}"
-        found = sorted(glob.glob(os.path.join(exp, "logs", doc, "diffu*_ckpt_best_*")))
-        found = [p for p in found if not p.endswith("_aux")]
-        if not found:
+        ck = best_ckpt(doc)
+        if ck is None:
             timings[f"stage3_m{k}_s"] = sh(
                 py + ["-m", "ladine_tpu.cli.main", *cpu, "--train",
                       "--config", cfg, "--dataroot", ds, "--exp", exp, "--doc", doc,
@@ -146,13 +163,9 @@ def main():
                       "--n_epochs", str(e3),
                       "--vit_ckpt", vit_ckpt, "--mlp_ckpt_dir", mlp_dir],
                 log, env)
-            found = sorted(glob.glob(os.path.join(exp, "logs", doc, "diffu*_ckpt_best_*")))
-            found = [p for p in found if not p.endswith("_aux")]
-        member_ckpts.append(found[-1])
+            ck = best_ckpt(doc)
+        member_ckpts.append(ck)
 
-    common = ["--config", cfg, "--dataroot", ds, "--exp", exp,
-              "--diffusion_ckpt", *member_ckpts,
-              "--guidance_ckpt" ]  # placeholder replaced below
     # members carry the guidance they trained against; no guidance flag needed
     common = ["--config", cfg, "--dataroot", ds, "--exp", exp,
               "--diffusion_ckpt", *member_ckpts]
@@ -176,6 +189,12 @@ def main():
     # EMA weights
     clean_ema = eval_step("test_ema", ["--test", "--ddim", "50", "--eta", "1.0",
                                        "--eval_ema", *tflag])
+
+    # ---- int8 eps matmuls (accuracy/ECE delta vs the bf16 row) ----------
+    clean_int8 = None
+    if not args.fast:
+        clean_int8 = eval_step("test_int8", ["--test", "--ddim", "50", "--eta", "1.0",
+                                             "--int8", *tflag])
 
     # ---- corruptions (DDIM-50) ------------------------------------------
     corr = {}
@@ -232,6 +251,8 @@ def main():
         row("clean, DDIM-50 eta=1 (serving sampler)", clean_d50),
         row("clean, DDIM-50, EMA weights (--eval_ema)", clean_ema),
     ]
+    if clean_int8 is not None:
+        lines.append(row("clean, DDIM-50, int8 eps matmuls (--int8)", clean_int8))
     for name, r in corr.items():
         lines.append(row(f"corruption: {name}", r))
     for name, r in atk.items():

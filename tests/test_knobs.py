@@ -91,6 +91,21 @@ def test_cli_knobs_roundtrip_config_snapshot(tmp_path):
     assert 0 <= report["ece"] <= 1
 
 
+def test_cli_int8_eval_runs(tmp_path):
+    """--int8 plumbs through EvalConfig -> engine (kernels/int8.py); the
+    demo pipeline must produce a sane report with quantized eps matmuls."""
+    from ladine_tpu.cli.main import main
+
+    exp = str(tmp_path / "exp")
+    rc = main([
+        "--test", "--demo", "--cpu", "--exp", exp, "--doc", "i8",
+        "--mc_trials", "1", "--timesteps", "6", "--int8",
+    ])
+    assert rc == 0
+    report = json.load(open(os.path.join(exp, "logs", "i8", "report.json")))
+    assert 0 <= report["ece"] <= 1
+
+
 def test_no_cat_f_phi_changes_param_count():
     """include_guidance=False drops the [y_t, y0_hat] concat: the first
     y-branch layer is half as wide on input (latent_model.py:172-173)."""

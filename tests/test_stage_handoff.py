@@ -216,6 +216,45 @@ def test_per_member_train_ckpts_stack(stage1_artifacts, small_config, tmp_path):
     assert report["num_instances"] == 12
 
 
+def test_mlp_idx_member_keeps_its_trained_head(stage1_artifacts, small_config, tmp_path):
+    """A member trained with --mlp_idx 3 must be conditioned on guidance
+    head 3 at eval (recorded in ckpt metadata), not silently remapped to
+    head 0 (round-2 review finding)."""
+    import json as _json
+
+    from ladine_tpu.cli.main import main
+    from ladine_tpu.config import Config
+    from ladine_tpu.cli.runner import Runner
+
+    vit_ckpt, mlp_dir = stage1_artifacts
+    exp = str(tmp_path / "exp")
+    rc = main([
+        "--train", "--config", small_config, "--cpu", "--exp", exp,
+        "--doc", "m3", "--seed", "33", "--mlp_idx", "3", "--n_epochs", "2",
+        "--vit_ckpt", vit_ckpt, "--mlp_ckpt_dir", mlp_dir,
+    ])
+    assert rc == 0
+    log_dir = os.path.join(exp, "logs", "m3")
+    ckpt = os.path.join(log_dir, sorted(
+        d for d in os.listdir(log_dir) if d.startswith("diffu"))[-1])
+    meta = _json.load(open(os.path.join(ckpt, "ladine_meta.json")))
+    assert meta["member_idx"] == 3
+
+    cfg = Config.from_yaml(small_config)
+    runner = Runner(cfg, log_dir=str(tmp_path / "rl"))
+    _, _, head_ids = runner.load_members_from_train_ckpts([ckpt])
+    assert head_ids == (3,)
+
+    # and the CLI eval path runs with that conditioning
+    rc = main([
+        "--test", "--config", small_config, "--cpu", "--exp", exp, "--doc", "m3t",
+        "--mc_trials", "1", "--ddim", "5", "--diffusion_ckpt", ckpt,
+    ])
+    assert rc == 0
+    report = json.load(open(os.path.join(exp, "logs", "m3t", "report.json")))
+    assert report["num_samples"] == 1
+
+
 def test_eval_ema_rejects_per_member_ckpts(small_config, tmp_path):
     from ladine_tpu.cli.main import main
 
