@@ -524,6 +524,20 @@ class Runner:
         from ladine_tpu.parallel import factor_mesh, make_mesh
 
         members = self.config.diffusion.num_members
+        # multi-slice hardware: put the member axis across slices so the
+        # per-step gradient psum stays on ICI (parallel/multislice.py)
+        slice_ids = {getattr(d, "slice_index", None) for d in devices}
+        if None not in slice_ids and len(slice_ids) > 1:
+            from ladine_tpu.parallel import describe_mesh, make_multislice_mesh
+
+            mesh = make_multislice_mesh(num_members=members, devices=devices)
+            if batch_size % mesh.devices.shape[1] == 0:
+                self.logger.info(describe_mesh(mesh, num_slices=len(slice_ids)))
+                return mesh
+            self.logger.warning(
+                f"multislice data axis {mesh.devices.shape[1]} does not tile "
+                f"batch {batch_size}; falling back to flat device packing"
+            )
         # largest device count whose data axis tiles the batch
         for n in range(len(devices), 1, -1):
             m_dim, d_dim = factor_mesh(n, members)

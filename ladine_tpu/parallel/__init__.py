@@ -11,3 +11,9 @@ from ladine_tpu.parallel.mesh import (
     shard_pytree,
     tree_shardings,
 )
+from ladine_tpu.parallel.multislice import (
+    describe_mesh,
+    group_devices_by_slice,
+    make_multislice_mesh,
+    multislice_factor,
+)

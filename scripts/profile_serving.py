@@ -57,8 +57,12 @@ def main():
         jax.config.update("jax_platforms", "cpu")
     else:
         try:
-            cur = jax.config.jax_platforms or "axon"
-            if "cpu" not in cur:
+            # keep the CPU backend reachable next to the accelerator; the
+            # platform name varies (tpu, or a tunneled plugin), so only
+            # amend an explicit setting — unset means auto-select, which
+            # already keeps cpu available.
+            cur = jax.config.jax_platforms
+            if cur and "cpu" not in cur:
                 jax.config.update("jax_platforms", cur + ",cpu")
         except Exception:
             pass
