@@ -20,7 +20,22 @@ Outputs under --out:
     member_{k}        per-member ConditionalModel variables -> --diffusion_ckpt
     predictor_artifact  (with --export_predictor) -> Predictor.load()
 
-torch is only needed to unpickle the .pth files (CPU torch suffices).
+The INVERSE direction (``--export``) writes TPU-trained checkpoints back
+into the reference's artifact formats, so migration works both ways:
+
+    python -m ladine_tpu.cli.convert --export --out ./for_reference \
+        --guidance_ckpt <guidance or assembled ckpt> \
+        --diffusion_ckpt <diffu_all*/diffu{k}* training ckpts> [--eval_ema]
+
+    for_reference/vit_base_patch16_224_{DS}.pth   timm state dict*
+    for_reference/MLPs/block_{k}.pth              Classifier state dicts
+    for_reference/diffu{k}_ckpt_best_eph{E}_acc{A}.pth
+                                                  {'noise_estimator': sd, ...}
+
+*stage-1 pickles in the reference are whole-module; load the state dict
+into a timm module and re-pickle (see export_vit's docstring).
+
+torch is only needed to (un)pickle the .pth files (CPU torch suffices).
 """
 
 from __future__ import annotations
@@ -49,8 +64,98 @@ def build_parser():
                    help="also bundle guidance + members + schedule + the "
                         "dataset's calibrated temperature as a Predictor artifact "
                         "(requires --diffusion_ckpt)")
+    p.add_argument("--export", action="store_true",
+                   help="REVERSE direction: our checkpoints -> reference .pth "
+                        "artifacts (--guidance_ckpt and/or --diffusion_ckpt "
+                        "become inputs)")
+    p.add_argument("--guidance_ckpt", type=str, default=None,
+                   help="with --export: a guidance/assembled checkpoint to "
+                        "write out as ViT + MLP .pth files")
+    p.add_argument("--eval_ema", action="store_true",
+                   help="with --export: export the EMA shadow parameters")
     p.add_argument("--cpu", action="store_true")
     return p
+
+
+def run_export(args) -> int:
+    """Our checkpoints -> reference torch artifacts (the CLI's --export)."""
+    import jax
+    import numpy as np
+
+    from ladine_tpu.utils import load_checkpoint
+    from ladine_tpu.utils.torch_convert import (
+        export_conditional_model,
+        export_mapping_mlp,
+        export_vit,
+        save_torch_state_dict,
+    )
+
+    os.makedirs(args.out, exist_ok=True)
+    written = {}
+
+    if args.guidance_ckpt:
+        tree, _meta = load_checkpoint(args.guidance_ckpt)
+        gp = tree["params"] if "params" in tree else tree
+        vit_path = os.path.join(
+            args.out, f"vit_base_patch16_224_{args.dataset}.pth"
+        )
+        save_torch_state_dict(export_vit(gp["vit"], depth=len(
+            [k for k in gp["vit"] if k.startswith("block")])), vit_path)
+        mlps_dir = os.path.join(args.out, "MLPs")
+        os.makedirs(mlps_dir, exist_ok=True)
+        mlp_paths = []
+        k = 0
+        while f"mlp{k}" in gp:
+            mp = os.path.join(mlps_dir, f"block_{k}.pth")
+            save_torch_state_dict(export_mapping_mlp(gp[f"mlp{k}"]), mp)
+            mlp_paths.append(mp)
+            k += 1
+        written["vit"] = vit_path
+        written["mlps"] = mlp_paths
+        print(f"exported guidance -> {vit_path} + {len(mlp_paths)} MLPs",
+              file=sys.stderr)
+
+    if args.diffusion_ckpt:
+        paths = []
+        out_idx = 0
+        for pth in args.diffusion_ckpt:
+            tree, meta = load_checkpoint(pth)
+            if "states" in tree:  # training checkpoint: stacked member states
+                st = tree["states"]
+                params = st["ema"] if args.eval_ema else st["params"]
+                stacked = {"params": params, "batch_stats": st["batch_stats"]}
+                n = len(jax.tree.leaves(params)[0])
+                for i in range(n):
+                    one = jax.tree.map(lambda x: np.asarray(x[i]), stacked)
+                    idx = meta.get("member_idx")
+                    idx = out_idx if idx is None else idx
+                    name = (f"diffu{idx}_ckpt_best_eph{meta.get('epoch', 0)}"
+                            f"_acc{meta.get('accuracy', 0.0):.4f}.pth")
+                    dst = os.path.join(args.out, name)
+                    save_torch_state_dict(
+                        export_conditional_model(one), dst,
+                        wrapper_key="noise_estimator",
+                        epoch=meta.get("epoch", 0),
+                    )
+                    paths.append(dst)
+                    out_idx += 1
+            else:  # per-member variables checkpoint (this CLI's import output)
+                dst = os.path.join(
+                    args.out, f"diffu{out_idx}_ckpt_best_eph0_acc0.0000.pth"
+                )
+                save_torch_state_dict(
+                    export_conditional_model(tree), dst,
+                    wrapper_key="noise_estimator",
+                )
+                paths.append(dst)
+                out_idx += 1
+        written["members"] = paths
+        print(f"exported {len(paths)} diffusion members", file=sys.stderr)
+
+    if not written:
+        raise SystemExit("--export needs --guidance_ckpt and/or --diffusion_ckpt")
+    print(json.dumps({"mode": "export", **written}))
+    return 0
 
 
 def main(argv=None) -> int:
@@ -59,6 +164,9 @@ def main(argv=None) -> int:
 
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
+
+    if args.export:
+        return run_export(args)
 
     import jax.numpy as jnp
 

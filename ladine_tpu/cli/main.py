@@ -79,6 +79,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--joint_train", action="store_true",
                    help="CE-update the guidance heads alongside every diffusion "
                         "step (reference aux_cls.joint_train path)")
+    p.add_argument("--precompute_guidance", action="store_true",
+                   help="with --train: run the frozen guidance over the "
+                        "train/valid splits ONCE, cache y0_hat per sample, "
+                        "and train without the guidance resident — required "
+                        "for full-dims single-chip training (the fp32 "
+                        "guidance + member train state exceed 16 GB) and "
+                        "faster everywhere (no per-step ViT forward)")
     p.add_argument("--export_predictor", action="store_true",
                    help="after --train: package the trained ensemble as a "
                         "serving Predictor artifact in the log dir")
@@ -244,7 +251,8 @@ def main(argv=None) -> int:
                               joint_train=args.joint_train,
                               eval_ema=args.eval_ema,
                               vit_ckpt=args.vit_ckpt,
-                              mlp_dir=args.mlp_ckpt_dir)
+                              mlp_dir=args.mlp_ckpt_dir,
+                              precompute_yhat=args.precompute_guidance)
         summary = {"mode": "train", "best_accuracy": result["best_accuracy"],
                    "steps": result["steps"]}
         if args.export_predictor:
@@ -337,7 +345,7 @@ def main(argv=None) -> int:
         )
         if train_ckpts:
             stacked, g_tree, head_ids = runner.load_members_from_train_ckpts(
-                train_ckpts, use_ema=args.eval_ema
+                train_ckpts, use_ema=args.eval_ema, eval_cast=True
             )
             # condition each stacked member on the guidance head it was
             # TRAINED against (--mlp_idx runs record member_idx in the ckpt
@@ -352,9 +360,10 @@ def main(argv=None) -> int:
             if args.guidance_ckpt or args.vit_ckpt:
                 gvars = runner.init_guidance(jax.random.PRNGKey(0), args.guidance_ckpt,
                                              vit_ckpt=args.vit_ckpt,
-                                             mlp_dir=args.mlp_ckpt_dir)
+                                             mlp_dir=args.mlp_ckpt_dir,
+                                             eval_cast=True)
             else:
-                gvars = jax.tree.map(jax.numpy.asarray, g_tree)
+                gvars = runner.to_eval_vars(g_tree, eval_cast=True)
         else:
             if args.eval_ema:
                 print("--eval_ema needs a training checkpoint (diffu_all*); "
@@ -363,8 +372,10 @@ def main(argv=None) -> int:
                 return 2
             gvars = runner.init_guidance(jax.random.PRNGKey(0), args.guidance_ckpt,
                                          vit_ckpt=args.vit_ckpt,
-                                         mlp_dir=args.mlp_ckpt_dir)
-            stacked = runner.init_members(jax.random.PRNGKey(1), args.diffusion_ckpt)
+                                         mlp_dir=args.mlp_ckpt_dir,
+                                         eval_cast=True)
+            stacked = runner.init_members(jax.random.PRNGKey(1), args.diffusion_ckpt,
+                                          eval_cast=True)
         if args.test and args.sweep:
             param, _, values = args.sweep.partition("=")
             field_map = {"noise": "noise_std", "lowres": "low_resolution",

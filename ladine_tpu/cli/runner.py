@@ -139,11 +139,26 @@ class Runner:
             self._ds_cache[split] = ds
         return self._ds_cache[split]
 
-    def batches(self, split: str, batch_size: int, drop_last: bool = False, shuffle=False, seed=0):
+    def batches(self, split: str, batch_size: int, drop_last: bool = False,
+                shuffle=False, seed=0, with_indices: bool = False):
         if self.demo:
-            return self._demo_batches(batch=batch_size)
+            gen = self._demo_batches(batch=batch_size)
+            if not with_indices:
+                return gen
+
+            def _demo_with_idx():
+                # demo batches are a fixed deterministic sequence: sample
+                # identity == generation order
+                start = 0
+                for images, labels in gen:
+                    idx = np.arange(start, start + len(labels))
+                    start += len(labels)
+                    yield images, labels, idx
+
+            return _demo_with_idx()
         return self._dataset(split).batches(
-            batch_size, shuffle=shuffle, drop_last=drop_last, seed=seed
+            batch_size, shuffle=shuffle, drop_last=drop_last, seed=seed,
+            with_indices=with_indices,
         )
 
     def num_batches(self, split: str, batch_size: int, drop_last: bool = False) -> int:
@@ -156,36 +171,119 @@ class Runner:
 
     # ------------------------------------------------------- guidance io
 
+    def eval_param_dtype(self):
+        """Compute dtype for eval-time parameter storage, or None (keep the
+        checkpoint dtype)."""
+        return jnp.bfloat16 if self.config.model.dtype == "bfloat16" else None
+
+    def to_eval_vars(self, tree, eval_cast: bool = False):
+        """Move a (host) variables tree to device; with ``eval_cast`` and a
+        bf16 compute config, float 'params' leaves land as bf16.
+
+        Flax casts weights to the compute dtype at every use anyway, so this
+        changes no eval math — it drops the RESIDENT fp32 copies, without
+        which the full-size ensemble (5 members ~14 GB + guidance ~13 GB
+        fp32) cannot fit one 16 GB chip at test time. batch_stats and
+        non-float leaves keep their dtypes."""
+        if tree is None:
+            return None
+        dt = self.eval_param_dtype() if eval_cast else None
+
+        def cast(x):
+            x = np.asarray(x)
+            if dt is not None and x.dtype in (np.float32, np.float64):
+                return jnp.asarray(x, dt)
+            return jnp.asarray(x)
+
+        out = dict(tree)
+        if dt is not None and "params" in out:
+            out["params"] = jax.tree.map(cast, out["params"])
+            rest = {k: v for k, v in out.items() if k != "params"}
+            rest = jax.tree.map(lambda x: jnp.asarray(np.asarray(x)), rest)
+            return {"params": out["params"], **rest}
+        return jax.tree.map(lambda x: jnp.asarray(np.asarray(x)), out)
+
     def init_guidance(self, key: jax.Array, ckpt_path: Optional[str] = None,
                       vit_ckpt: Optional[str] = None,
-                      mlp_dir: Optional[str] = None):
+                      mlp_dir: Optional[str] = None,
+                      eval_cast: bool = False):
         """Guidance variables: random init, a full --guidance_ckpt, or the
         stage-1 artifacts assembled in place (the reference's make_files.sh +
-        torch.load handoff, classification_train_separately.py:249-315)."""
+        torch.load handoff, classification_train_separately.py:249-315).
+
+        Checkpoint loads validate against a ``jax.eval_shape`` skeleton and
+        materialize ONCE (full-dims guidance is ~13 GB fp32; a real init
+        followed by an overwrite would hold two copies)."""
         images = jnp.zeros((1, self.img, self.img, 3))
-        gvars = self.guidance.init(key, images)
+        if not (ckpt_path or vit_ckpt or mlp_dir):
+            return self.guidance.init(key, images)
+        from ladine_tpu.utils import assemble_guidance, validate_guidance_tree
+
+        template = jax.eval_shape(lambda: self.guidance.init(key, images))
         if ckpt_path:
             if not os.path.exists(ckpt_path):
                 raise FileNotFoundError(f"--guidance_ckpt {ckpt_path} does not exist")
-            gvars, _ = load_checkpoint(ckpt_path, target=gvars)
+            tree, _ = load_checkpoint(ckpt_path)  # host arrays
             self.logger.info(f"loaded guidance from {ckpt_path}")
-        elif vit_ckpt or mlp_dir:
+        else:
             if not (vit_ckpt and mlp_dir):
                 raise ValueError("--vit_ckpt and --mlp_ckpt_dir must be given together")
-            from ladine_tpu.utils import assemble_guidance, validate_guidance_tree
-
-            assembled = assemble_guidance(
+            tree = assemble_guidance(
                 vit_ckpt, mlp_dir=mlp_dir,
                 num_members=self.config.diffusion.num_members,
             )
-            gvars = validate_guidance_tree(assembled, gvars)
             self.logger.info(
                 f"assembled guidance from stage-1 ckpts {vit_ckpt} + {mlp_dir}"
             )
-        return gvars
+        tree = validate_guidance_tree(tree, template, cast=False)
+        return self.to_eval_vars(tree, eval_cast=eval_cast)
 
-    def init_members(self, key: jax.Array, ckpt_paths: Optional[list] = None):
+    def precompute_yhat(self, gvars, split: str, head_indices, batch_size: int
+                        ) -> np.ndarray:
+        """Frozen-guidance predictions for every sample of a split, indexed by
+        dataset position: (N, K_sel, C) float32.
+
+        The guidance is frozen during stage-3 training, so its softmax output
+        is a CONSTANT per image — hoisting it out of the train loop (key
+        algorithmic win: SURVEY.md §7 #1/#3 applied at the stage level). This
+        is also what makes full-dims single-chip training fit: the fp32
+        guidance tree (ViT + 5 mapping MLPs ~ 13 GB) leaves HBM before the
+        member's ~14 GB train state arrives."""
+        idx = jnp.asarray(tuple(head_indices))
+
+        @jax.jit
+        def g_fn(images):
+            heads = self.guidance.apply(gvars, images)
+            # fp32 softmax for a storage-stable host array (the in-step path
+            # softmaxes in compute dtype; eval does fp32 too)
+            return jax.nn.softmax(heads.astype(jnp.float32), axis=-1)[idx]
+
+        pairs = []
+        for images, _labels, bidx in self.batches(split, batch_size, with_indices=True):
+            yh = np.asarray(g_fn(jnp.asarray(images)))  # (K_sel, B, C)
+            pairs.append((np.asarray(bidx), np.transpose(yh, (1, 0, 2))))
+        n = max(int(b.max()) for b, _ in pairs) + 1
+        out = np.zeros((n,) + pairs[0][1].shape[1:], np.float32)
+        for bidx, yh in pairs:
+            out[bidx] = yh
+        self.logger.info(
+            f"precomputed frozen-guidance y0_hat for '{split}': {out.shape}"
+        )
+        return out
+
+    def init_members(self, key: jax.Array, ckpt_paths: Optional[list] = None,
+                     eval_cast: bool = False):
         c = self.config
+        if ckpt_paths:
+            # host restore -> per-member device placement (bf16 params when
+            # eval_cast): stacking five fp32 full-size members on device
+            # (~14 GB) plus their load-time copies would OOM one chip
+            loaded = []
+            for p in ckpt_paths:
+                tree, _ = load_checkpoint(p)
+                loaded.append(self.to_eval_vars(tree, eval_cast=eval_cast))
+            self.logger.info(f"loaded {len(loaded)} diffusion members")
+            return stack_members(loaded)
         x = jnp.zeros((1, self.cond.data_dim))
         members = [
             self.cond.init(
@@ -194,17 +292,10 @@ class Runner:
             )
             for k in jax.random.split(key, c.diffusion.num_members)
         ]
-        stacked = stack_members(members)
-        if ckpt_paths:
-            loaded = []
-            for i, p in enumerate(ckpt_paths):
-                tree, _ = load_checkpoint(p, target=members[i])
-                loaded.append(tree)
-            stacked = stack_members(loaded)
-            self.logger.info(f"loaded {len(loaded)} diffusion members")
-        return stacked
+        return stack_members(members)
 
-    def load_members_from_train_ckpt(self, path: str, use_ema: bool = False):
+    def load_members_from_train_ckpt(self, path: str, use_ema: bool = False,
+                                     eval_cast: bool = False):
         """Eval-side loader for a training checkpoint (the ``diffu_all*`` /
         ``diffu{k}*`` dirs saved by :meth:`train`): returns (stacked member
         variables, guidance variables). ``use_ema`` evaluates the EMA shadow
@@ -220,7 +311,7 @@ class Runner:
         st = tree["states"]
         params = st["ema"] if use_ema else st["params"]
         variables = {"params": params, "batch_stats": st["batch_stats"]}
-        variables = jax.tree.map(jnp.asarray, variables)
+        variables = self.to_eval_vars(variables, eval_cast=eval_cast)
         n = jax.tree.leaves(params)[0].shape[0]
         self.logger.info(
             f"loaded {n} trained members from {path}"
@@ -228,7 +319,8 @@ class Runner:
         )
         return variables, tree.get("guidance"), meta
 
-    def load_members_from_train_ckpts(self, paths, use_ema: bool = False):
+    def load_members_from_train_ckpts(self, paths, use_ema: bool = False,
+                                      eval_cast: bool = False):
         """Stack members from one or SEVERAL training checkpoints — the
         reference's per-member workflow (train.sh runs main.py five times
         with MLP_IDX=0..4; the YAML then lists five diffu{k} ckpts,
@@ -241,7 +333,8 @@ class Runner:
         caller then falls back to positional head order."""
         parts, gvars, head_indices = [], None, []
         for p in paths:
-            variables, g, meta = self.load_members_from_train_ckpt(p, use_ema=use_ema)
+            variables, g, meta = self.load_members_from_train_ckpt(
+                p, use_ema=use_ema, eval_cast=eval_cast)
             n_i = jax.tree.leaves(variables)[0].shape[0]
             idx = meta.get("member_idx")
             if idx is None and n_i == 1 and len(paths) > 1:
@@ -269,7 +362,8 @@ class Runner:
               joint_train: bool = False,
               eval_ema: bool = False,
               vit_ckpt: Optional[str] = None,
-              mlp_dir: Optional[str] = None) -> Dict[str, Any]:
+              mlp_dir: Optional[str] = None,
+              precompute_yhat: bool = False) -> Dict[str, Any]:
         """Train ALL diffusion members concurrently (reference: one member
         per process invocation, train.sh), or just ``member_idx`` — the
         reference's per-member MLP_IDX workflow. ``resume_from`` restores
@@ -281,6 +375,11 @@ class Runner:
         if member_idx is not None and not 0 <= member_idx < c.diffusion.num_members:
             raise ValueError(
                 f"member_idx {member_idx} out of range [0, {c.diffusion.num_members})"
+            )
+        if precompute_yhat and joint_train:
+            raise ValueError(
+                "--precompute_guidance assumes a FROZEN guidance; "
+                "--joint_train updates it every step"
             )
         head_indices = (member_idx,) if member_idx is not None else None
         n_train_members = 1 if member_idx is not None else c.diffusion.num_members
@@ -303,6 +402,19 @@ class Runner:
         )
         tx = make_optimizer(c.optim.optimizer, lr, c.optim.weight_decay,
                             c.optim.beta1, c.optim.eps, c.optim.grad_clip)
+        yhat_train = yhat_valid = None
+        if precompute_yhat:
+            # run the guidance over both splits BEFORE member state
+            # materializes, then drop its device tree: at full dims the fp32
+            # ViT+MLP guidance (~13 GB) and a member's fp32 train state
+            # (~14 GB incl. gradients) cannot coexist on one 16 GB chip
+            hidx = head_indices if head_indices is not None else tuple(
+                range(n_train_members))
+            yhat_train = self.precompute_yhat(gvars, "train", hidx,
+                                              c.training.batch_size)
+            yhat_valid = self.precompute_yhat(gvars, "valid", hidx,
+                                              c.sampling.batch_size)
+            gvars = jax.device_get(gvars)  # host copy for ckpts; frees HBM
         states = create_member_states(self.cond, key, tx, n_train_members)
         mesh = self._maybe_mesh(c.training.batch_size) if member_idx is None else None
         start_epoch = 0
@@ -351,11 +463,19 @@ class Runner:
                 n_train_members, c.data.num_classes, c.model.ema_rate,
                 head_indices=head_indices, noise_prior=c.diffusion.noise_prior,
             )
-        raw_step = make_full_train_step(
-            self.guidance, gvars, self.cond, tx, self.sched,
-            n_train_members, c.data.num_classes, c.model.ema_rate,
-            head_indices=head_indices, noise_prior=c.diffusion.noise_prior,
-        )
+        if precompute_yhat:
+            from ladine_tpu.train import make_multi_member_step
+
+            raw_step = make_multi_member_step(
+                self.cond, tx, self.sched, c.model.ema_rate,
+                c.diffusion.noise_prior,
+            )
+        else:
+            raw_step = make_full_train_step(
+                self.guidance, gvars, self.cond, tx, self.sched,
+                n_train_members, c.data.num_classes, c.model.ema_rate,
+                head_indices=head_indices, noise_prior=c.diffusion.noise_prior,
+            )
         if mesh is not None:
             from ladine_tpu.parallel import (
                 data_sharding, fsdp_shardings, member_sharding, replicated,
@@ -385,6 +505,16 @@ class Runner:
                 )
                 gparams = shard_pytree(gparams, rep)
                 aux_opt = shard_pytree(aux_opt, rep)
+            elif precompute_yhat:
+                from ladine_tpu.parallel import member_data_sharding
+
+                step_fn = jax.jit(
+                    raw_step,
+                    in_shardings=(st_shard, data_s, data_s,
+                                  member_data_sharding(mesh), rep),
+                    out_shardings=(st_shard, member_sharding(mesh)),
+                    donate_argnums=(0,),
+                )
             else:
                 step_fn = jax.jit(
                     raw_step,
@@ -410,15 +540,27 @@ class Runner:
         best_ckpt_path = None
         t0 = time.time()
         for epoch in range(start_epoch, epochs):
-            for images, labels in self.batches("train", c.training.batch_size, shuffle=True, seed=epoch):
+            for batch in self.batches("train", c.training.batch_size, shuffle=True,
+                                      seed=epoch, with_indices=precompute_yhat):
                 key, sub = jax.random.split(key)
                 if joint_train:
+                    images, labels = batch
                     states, gparams, aux_opt, aux_loss, losses = joint_step(
                         states, gparams, aux_opt, jnp.asarray(images),
                         jnp.asarray(labels), sub,
                     )
                     gvars = {**gvars, "params": gparams}
+                elif precompute_yhat:
+                    from ladine_tpu.ops import one_hot_and_prototype
+
+                    images, labels, bidx = batch
+                    y0, _ = one_hot_and_prototype(jnp.asarray(labels),
+                                                  c.data.num_classes)
+                    yh = jnp.asarray(yhat_train[bidx].transpose(1, 0, 2))
+                    x_flat = jnp.asarray(images).reshape(len(labels), -1)
+                    states, losses = step_fn(states, x_flat, y0, yh, sub)
                 else:
+                    images, labels = batch
                     states, losses = step_fn(states, jnp.asarray(images), jnp.asarray(labels), sub)
                 global_step += 1
                 if global_step % max(1, c.training.logging_freq // 10) == 0 or global_step == 1:
@@ -434,7 +576,7 @@ class Runner:
                 # reuse exactly the key material validation just consumed
                 val_key = jax.random.fold_in(key, 1_000_000 + epoch)
                 acc = self._validate(gvars, states, val_key, head_indices=head_indices,
-                                     use_ema=eval_ema)
+                                     use_ema=eval_ema, precomputed_yhat=yhat_valid)
                 self.scalars.add_scalar("accuracy", acc, global_step)
                 self.logger.info(f"epoch {epoch}: validation majority-vote acc {acc:.2f}%")
                 if acc > best_acc:
@@ -465,7 +607,8 @@ class Runner:
                 "best_ckpt_path": best_ckpt_path}
 
     def _validate(self, gvars, states, key, mc_trials: int = 1,
-                  head_indices=None, use_ema: bool = False) -> float:
+                  head_indices=None, use_ema: bool = False,
+                  precomputed_yhat: Optional[np.ndarray] = None) -> float:
         """Majority-vote accuracy on the validation split — the in-training
         quality gate (classification_train_separately.py:1054-1129).
         ``head_indices`` aligns guidance heads with the trained members for
@@ -493,10 +636,13 @@ class Runner:
             else None
         )
 
+        pre = precomputed_yhat is not None
+
         @jax.jit
-        def pipe(variables, images, key):
-            heads = self.guidance.apply(gvars, images)
-            y0_hat = jax.nn.softmax(heads.astype(jnp.float32), axis=-1)[idx]
+        def pipe(variables, images, y0_hat, key):
+            if not pre:
+                heads = self.guidance.apply(gvars, images)
+                y0_hat = jax.nn.softmax(heads.astype(jnp.float32), axis=-1)[idx]
             x_flat = images.reshape(images.shape[0], -1)
             return nested_ensemble_sample(
                 self.cond, variables, x_flat, y0_hat, key, self.sched,
@@ -505,9 +651,15 @@ class Runner:
             )
 
         correct = total = 0
-        for images, labels in self.batches("valid", c.sampling.batch_size):
+        for batch in self.batches("valid", c.sampling.batch_size, with_indices=pre):
+            if pre:
+                images, labels, bidx = batch
+                yh = jnp.asarray(precomputed_yhat[bidx].transpose(1, 0, 2))
+            else:
+                images, labels = batch
+                yh = None
             key, sub = jax.random.split(key)
-            samples = pipe(variables, jnp.asarray(images), sub)
+            samples = pipe(variables, jnp.asarray(images), yh, sub)
             m, k, b, cl = samples.shape
             mv = np.asarray(majority_vote(samples.reshape(m * k, b, cl)))
             correct += int((mv == np.asarray(labels)).sum())

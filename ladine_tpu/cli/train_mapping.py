@@ -30,6 +30,11 @@ def build_parser():
     p.add_argument("--step_size", type=int, default=20)
     p.add_argument("--gamma", type=float, default=0.5)
     p.add_argument("--num_members", type=int, default=5)
+    p.add_argument("--mlp_idx", type=int, default=None,
+                   help="train ONE mapping MLP (tap depth k+1) — the "
+                        "reference's per-MLP workflow; required at full dims "
+                        "on one chip (5 concurrent 625M-param Adam states "
+                        "exceed 16 GB HBM)")
     p.add_argument("--num_classes", type=int, default=2)
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--out", type=str, default="./models")
@@ -111,33 +116,45 @@ def main(argv=None) -> int:
                         step_decay(args.lr, args.step_size, args.gamma, steps_per_epoch),
                         grad_clip=None)
     num_patches = (img // patch) ** 2
+    members = (args.mlp_idx,) if args.mlp_idx is not None else None
+    n_train = 1 if args.mlp_idx is not None else args.num_members
     states = create_mapping_states(mlp, jax.random.PRNGKey(args.seed), tx,
-                                   args.num_members, num_patches, embed)
-    train_step = jax.jit(make_mapping_train_step(vit, vparams, mlp, tx, args.num_members))
-    eval_step = jax.jit(make_mapping_eval_step(vit, vparams, mlp, args.num_members))
+                                   args.num_members, num_patches, embed,
+                                   member_indices=members)
+    # donate the state: without it the update holds old+new params+Adam
+    # moments live at once (~20 GB at full dims for one member)
+    train_step = jax.jit(
+        make_mapping_train_step(vit, vparams, mlp, tx, args.num_members,
+                                member_indices=members),
+        donate_argnums=(0,),
+    )
+    eval_step = jax.jit(make_mapping_eval_step(vit, vparams, mlp, args.num_members,
+                                               member_indices=members))
 
-    best = np.full(args.num_members, -1.0)
-    best_params = [None] * args.num_members
+    best = np.full(n_train, -1.0)
+    best_params = [None] * n_train
     for epoch in range(args.epochs):
         for images, labels in batches("train", args.batch_size, shuffle=True, seed=epoch):
             states, losses, accs = train_step(states, jnp.asarray(images), jnp.asarray(labels))
-        correct = np.zeros(args.num_members)
+        correct = np.zeros(n_train)
         total = 0
         for images, labels in batches("valid", args.batch_size):
             correct += np.asarray(eval_step(states.params, jnp.asarray(images), jnp.asarray(labels)))
             total += len(labels)
         val_acc = 100.0 * correct / max(total, 1)
         logger.info(f"epoch {epoch}: val accs {np.round(val_acc, 2).tolist()}")
-        for k in range(args.num_members):
+        for k in range(n_train):
             if val_acc[k] > best[k]:
                 best[k] = val_acc[k]
                 best_params[k] = jax.tree.map(lambda x: np.asarray(x[k]), states.params)
-    for k in range(args.num_members):
-        path = os.path.join(args.out, args.dataset, "MLPs", f"block_{k}")
+    for k in range(n_train):
+        member = args.mlp_idx if args.mlp_idx is not None else k
+        path = os.path.join(args.out, args.dataset, "MLPs", f"block_{member}")
         save_checkpoint(path, {"params": best_params[k]},
-                        {"member": k, "accuracy": float(best[k]), "kind": "mapping_mlp"})
-        logger.info(f"saved MLP {k} (acc {best[k]:.2f}%) to {path}")
-    print(json.dumps({"mode": "train_mapping", "best_val_accuracies": best.tolist()}))
+                        {"member": member, "accuracy": float(best[k]), "kind": "mapping_mlp"})
+        logger.info(f"saved MLP {member} (acc {best[k]:.2f}%) to {path}")
+    print(json.dumps({"mode": "train_mapping", "mlp_idx": args.mlp_idx,
+                      "best_val_accuracies": best.tolist()}))
     return 0
 
 

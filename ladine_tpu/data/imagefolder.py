@@ -136,9 +136,13 @@ class ImageFolderDataset:
         drop_last: bool = False,
         seed: int = 0,
         prefetch: int = 2,
-    ) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
-        """Yield (images, labels) with background prefetch of the next
-        batches, overlapping decode with device compute."""
+        with_indices: bool = False,
+    ) -> Iterator[Tuple[np.ndarray, ...]]:
+        """Yield (images, labels[, dataset_indices]) with background prefetch
+        of the next batches, overlapping decode with device compute.
+        ``with_indices`` additionally yields each batch's sample indices —
+        used to align precomputed per-sample tensors (e.g. frozen-guidance
+        predictions) with shuffled batches."""
         n = len(self)
         order = np.arange(n)
         if shuffle:
@@ -154,7 +158,11 @@ class ImageFolderDataset:
             for i, chunk in enumerate(chunks):
                 if i + prefetch < len(chunks):
                     futures.append(loader.submit(self.load_indices, chunks[i + prefetch]))
-                yield futures.pop(0).result(), self.labels[chunk]
+                images = futures.pop(0).result()
+                if with_indices:
+                    yield images, self.labels[chunk], chunk
+                else:
+                    yield images, self.labels[chunk]
 
 
 def compute_mean_std(dataset: ImageFolderDataset, batch_size: int = 64) -> Tuple[np.ndarray, np.ndarray]:

@@ -110,25 +110,42 @@ def create_mapping_states(
     num_members: int,
     num_patches: int = 196,
     embed_dim: int = 768,
+    member_indices: Tuple[int, ...] = None,
 ) -> TrainState:
-    """Independent inits for all K MLPs, stacked along a member axis."""
+    """Independent inits for K MLPs, stacked along a member axis.
+
+    ``member_indices`` builds states for a subset only, using the SAME
+    per-member keys as the full stack (split by ``num_members``) — so a
+    per-member run initializes member k identically to the concurrent run."""
     x = jnp.zeros((1, num_patches, embed_dim))
 
     def one(k):
         params = mlp.init(k, x)["params"]
         return TrainState(params=params, opt_state=tx.init(params), step=jnp.asarray(0))
 
-    states = [one(k) for k in jax.random.split(key, num_members)]
+    keys = jax.random.split(key, num_members)
+    if member_indices is not None:
+        keys = [keys[k] for k in member_indices]
+    states = [one(k) for k in keys]
     return jax.tree.map(lambda *xs: jnp.stack(xs), *states)
 
 
 def make_mapping_train_step(
-    vit: ViT, vit_params: Any, mlp: MappingMLP, tx: optax.GradientTransformation, num_members: int
+    vit: ViT, vit_params: Any, mlp: MappingMLP, tx: optax.GradientTransformation,
+    num_members: int, member_indices: Tuple[int, ...] = None,
 ) -> Callable:
-    """One jitted step training ALL K mapping MLPs on their taps from a
-    single frozen-ViT forward: (stacked_state, images, labels) ->
-    (stacked_state, losses (K,), accs (K,))."""
-    depths = tuple(range(1, num_members + 1))
+    """One jitted step training mapping MLPs on their taps from a single
+    frozen-ViT forward: (stacked_state, images, labels) ->
+    (stacked_state, losses (K,), accs (K,)).
+
+    ``member_indices`` restricts the step to a subset of members (tap depth
+    k+1 for member k) — the full-size MLPs are ~625M params each, so all
+    five Adam states (~37 GB fp32) exceed one 16 GB chip; the per-member
+    mode matches the reference's five separate train_mapping.py runs."""
+    depths = tuple(
+        k + 1 for k in (member_indices if member_indices is not None
+                        else range(num_members))
+    )
 
     def one_member(state: TrainState, tap, labels):
         def loss_fn(params):
@@ -157,9 +174,13 @@ def make_mapping_train_step(
 
 
 def make_mapping_eval_step(
-    vit: ViT, vit_params: Any, mlp: MappingMLP, num_members: int
+    vit: ViT, vit_params: Any, mlp: MappingMLP, num_members: int,
+    member_indices: Tuple[int, ...] = None,
 ) -> Callable:
-    depths = tuple(range(1, num_members + 1))
+    depths = tuple(
+        k + 1 for k in (member_indices if member_indices is not None
+                        else range(num_members))
+    )
 
     def step(stacked_params, images, labels):
         taps = vit.apply({"params": vit_params}, images, depths, method="tap_features")

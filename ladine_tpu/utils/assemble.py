@@ -89,10 +89,13 @@ def assemble_guidance(
     return {"params": gparams}
 
 
-def validate_guidance_tree(gvars: Any, template: Any) -> Any:
-    """Check an assembled tree against a freshly-initialized guidance tree
-    (same structure, same leaf shapes) and return it cast to the template's
-    dtypes. Raises ValueError with the offending path on mismatch."""
+def validate_guidance_tree(gvars: Any, template: Any, cast: bool = True) -> Any:
+    """Check an assembled tree against a guidance template (a real init or a
+    ``jax.eval_shape`` skeleton — only shapes/dtypes are read): same
+    structure, same leaf shapes. Returns the tree cast+materialized to the
+    template's dtypes, or unchanged (host) with ``cast=False`` so the caller
+    can choose the device placement/dtype (e.g. bf16 eval casting without a
+    transient fp32 copy). Raises ValueError with the offending path."""
     flat_t = dict(jax.tree_util.tree_flatten_with_path(template)[0])
     flat_g = dict(jax.tree_util.tree_flatten_with_path(gvars)[0])
     t_keys, g_keys = set(flat_t), set(flat_g)
@@ -110,6 +113,8 @@ def validate_guidance_tree(gvars: Any, template: Any) -> Any:
                 f"shape mismatch at {jax.tree_util.keystr(k)}: checkpoint "
                 f"{tuple(flat_g[k].shape)} vs model {tuple(flat_t[k].shape)}"
             )
+    if not cast:
+        return gvars
     import jax.numpy as jnp
 
     return jax.tree.map(lambda t, g: jnp.asarray(g, t.dtype), template, gvars)

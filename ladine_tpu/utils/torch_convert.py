@@ -134,3 +134,107 @@ def convert_vit(sd: Mapping[str, np.ndarray], depth: int = 12) -> Dict[str, Any]
             },
         }
     return params
+
+
+# --------------------------------------------------------------------------
+# Inverse direction: flax -> reference torch state dicts. A TPU-trained model
+# can be exported back into the reference's artifact formats, so a user can
+# migrate in either direction (or cross-check the two implementations on the
+# same weights). Each exporter is the exact inverse of the converter above;
+# tests round-trip through both.
+# --------------------------------------------------------------------------
+
+
+def _inv_linear(tree: Mapping[str, Any], prefix: str, out: Dict[str, np.ndarray]):
+    out[f"{prefix}.weight"] = np.ascontiguousarray(_np(tree["kernel"]).T)
+    out[f"{prefix}.bias"] = _np(tree["bias"])
+
+
+def _inv_bn(params: Mapping[str, Any], stats: Mapping[str, Any], prefix: str,
+            out: Dict[str, np.ndarray]):
+    out[f"{prefix}.weight"] = _np(params["scale"])
+    out[f"{prefix}.bias"] = _np(params["bias"])
+    out[f"{prefix}.running_mean"] = _np(stats["mean"])
+    out[f"{prefix}.running_var"] = _np(stats["var"])
+    # torch BatchNorm1d tracks this buffer; harmless constant on reload
+    out[f"{prefix}.num_batches_tracked"] = np.asarray(0, np.int64)
+
+
+def export_mapping_mlp(params: Mapping[str, Any]) -> Dict[str, np.ndarray]:
+    """MappingMLP params -> reference Classifier state dict
+    (mapping/models/mlp.py:4-29)."""
+    out: Dict[str, np.ndarray] = {}
+    for i in range(1, 5):
+        _inv_linear(params[f"linear{i}"]["Dense_0"], f"linear{i}", out)
+    return out
+
+
+def export_conditional_model(variables: Mapping[str, Any]) -> Dict[str, np.ndarray]:
+    """Our ConditionalModel variables -> reference ConditionalModel state
+    dict ('linear' arch, guidance=True; latent_model.py:108-184) — the
+    payload of the reference's {'noise_estimator': ...} checkpoint."""
+    params, stats = variables["params"], variables["batch_stats"]
+    out: Dict[str, np.ndarray] = {}
+    for ours, theirs in [("enc_lin1", "encoder_x.0"), ("enc_lin2", "encoder_x.3"),
+                         ("enc_lin3", "encoder_x.6")]:
+        _inv_linear(params[ours]["Dense_0"], theirs, out)
+    for ours, theirs in [("enc_bn1", "encoder_x.1"), ("enc_bn2", "encoder_x.4"),
+                         ("norm", "norm")]:
+        _inv_bn(params[ours], stats[ours], theirs, out)
+    for i in (1, 2, 3):
+        _inv_linear(params[f"lin{i}"]["TorchLinear_0"]["Dense_0"], f"lin{i}.lin", out)
+        out[f"lin{i}.embed.weight"] = _np(params[f"lin{i}"]["embed"])
+        _inv_bn(params[f"unetnorm{i}"], stats[f"unetnorm{i}"], f"unetnorm{i}", out)
+    _inv_linear(params["lin4"]["Dense_0"], "lin4", out)
+    return out
+
+
+def export_vit(params: Mapping[str, Any], depth: int = 12) -> Dict[str, np.ndarray]:
+    """Our ViT params -> timm 0.3.x vit_base_patch16_224 state dict.
+
+    The reference's stage-1 artifact is a whole-module pickle; load this
+    state dict into a timm module and re-pickle to reproduce it exactly:
+    ``m = timm.create_model('vit_base_patch16_224'); m.head = nn.Linear(768, C);
+    m.load_state_dict(torch.load(path)); torch.save(m, out)``.
+    """
+    out: Dict[str, np.ndarray] = {
+        "patch_embed.proj.weight": np.ascontiguousarray(
+            _np(params["patch_proj"]["kernel"]).transpose(3, 2, 0, 1)
+        ),
+        "patch_embed.proj.bias": _np(params["patch_proj"]["bias"]),
+        "cls_token": _np(params["cls_token"]),
+        "pos_embed": _np(params["pos_embed"]),
+        "norm.weight": _np(params["norm"]["scale"]),
+        "norm.bias": _np(params["norm"]["bias"]),
+    }
+    _inv_linear(params["head"]["Dense_0"], "head", out)
+    for i in range(depth):
+        b, p = params[f"block{i}"], f"blocks.{i}"
+        out[f"{p}.norm1.weight"] = _np(b["norm1"]["scale"])
+        out[f"{p}.norm1.bias"] = _np(b["norm1"]["bias"])
+        out[f"{p}.norm2.weight"] = _np(b["norm2"]["scale"])
+        out[f"{p}.norm2.bias"] = _np(b["norm2"]["bias"])
+        _inv_linear(b["attn"]["qkv"]["Dense_0"], f"{p}.attn.qkv", out)
+        _inv_linear(b["attn"]["proj"]["Dense_0"], f"{p}.attn.proj", out)
+        _inv_linear(b["mlp"]["fc1"]["Dense_0"], f"{p}.mlp.fc1", out)
+        _inv_linear(b["mlp"]["fc2"]["Dense_0"], f"{p}.mlp.fc2", out)
+    return out
+
+
+def save_torch_state_dict(sd: Mapping[str, np.ndarray], path: str,
+                          wrapper_key: str = None, epoch: int = 0) -> None:
+    """Write a numpy state dict as a .pth the reference can load.
+
+    ``wrapper_key='noise_estimator'`` reproduces the diffusion checkpoint
+    wrapper {'noise_estimator': sd, 'optimizer': {}, 'epoch': E}
+    (classification_train_separately.py:1120-1122; the reference only reads
+    'noise_estimator' back, :690-691)."""
+    import torch
+
+    tensors = {k: torch.from_numpy(np.ascontiguousarray(v)) for k, v in sd.items()}
+    obj = (
+        {wrapper_key: tensors, "optimizer": {}, "epoch": epoch}
+        if wrapper_key
+        else tensors
+    )
+    torch.save(obj, path)

@@ -121,16 +121,24 @@ def main():
     s1a = last_json(s1a_log) if os.path.exists(s1a_log) else None
 
     # ---- stage 1b ------------------------------------------------------
+    # one MLP per invocation (the reference's workflow): five concurrent
+    # full-size Adam states (~37 GB fp32) exceed one 16 GB chip
     s1b_log = os.path.join(w, "stage1b.log")
     mlp_dir = os.path.join(models, "ChestXRay", "MLPs")
-    if not os.path.isdir(mlp_dir):
-        timings["stage1b_s"] = sh(
-            py + ["-m", "ladine_tpu.cli.train_mapping", *cpu, *dims, *mlp_dims_flag,
-                  "--dataset", "ChestXRay", "--dataroot", ds,
-                  "--epochs", str(e1), "--batch_size", "30", "--out", models,
-                  "--vit_ckpt", vit_ckpt, "--num_members", "5"],
-            s1b_log, env)
-    s1b = last_json(s1b_log) if os.path.exists(s1b_log) else None
+    s1b_accs = []
+    for k in range(5):
+        if not os.path.isdir(os.path.join(mlp_dir, f"block_{k}")):
+            timings[f"stage1b_m{k}_s"] = sh(
+                py + ["-m", "ladine_tpu.cli.train_mapping", *cpu, *dims,
+                      *mlp_dims_flag, "--dataset", "ChestXRay", "--dataroot", ds,
+                      "--epochs", str(e1), "--batch_size", "30", "--out", models,
+                      "--vit_ckpt", vit_ckpt, "--num_members", "5",
+                      "--mlp_idx", str(k)],
+                s1b_log, env)
+            j = last_json(s1b_log)
+            s1b_accs.extend((j or {}).get("best_val_accuracies", ["?"]))
+    s1b = {"best_val_accuracies": s1b_accs} if s1b_accs else (
+        last_json(s1b_log) if os.path.exists(s1b_log) else None)
 
     # ---- guidance accuracy ---------------------------------------------
     g_log = os.path.join(w, "guid.log")
@@ -160,7 +168,7 @@ def main():
                 py + ["-m", "ladine_tpu.cli.main", *cpu, "--train",
                       "--config", cfg, "--dataroot", ds, "--exp", exp, "--doc", doc,
                       "--seed", str(1000 + k), "--mlp_idx", str(k),
-                      "--n_epochs", str(e3),
+                      "--n_epochs", str(e3), "--precompute_guidance",
                       "--vit_ckpt", vit_ckpt, "--mlp_ckpt_dir", mlp_dir],
                 log, env)
             ck = best_ckpt(doc)

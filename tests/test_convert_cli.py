@@ -215,3 +215,120 @@ def test_full_size_conversion_parity():
                              jnp.asarray(y0_hat), coeffs, jnp.asarray(z))
     np.testing.assert_allclose(np.asarray(ours_y), np.asarray(theirs_y),
                                rtol=1e-3, atol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# Inverse direction: flax -> reference .pth (cli.convert --export)
+# ---------------------------------------------------------------------------
+
+
+def test_export_roundtrip_state_dicts(reference_artifacts):
+    """torch sd -> convert -> export -> identical torch sd (all three model
+    families), proving the exporters are exact inverses."""
+    from ladine_tpu.utils.torch_convert import (
+        convert_conditional_model,
+        convert_mapping_mlp,
+        convert_vit,
+        export_conditional_model,
+        export_mapping_mlp,
+        export_vit,
+        load_torch_state_dict,
+    )
+
+    pre, diffu = reference_artifacts
+    cases = [
+        (os.path.join(pre, "vit_base_patch16_224_ChestXRay.pth"),
+         lambda sd: export_vit(convert_vit(sd, depth=DIMS["depth"]),
+                               depth=DIMS["depth"])),
+        (os.path.join(pre, "MLPs", "block_0.pth"),
+         lambda sd: export_mapping_mlp(convert_mapping_mlp(sd))),
+        (diffu[0],
+         lambda sd: export_conditional_model(convert_conditional_model(sd))),
+    ]
+    for path, roundtrip in cases:
+        sd = load_torch_state_dict(path)
+        out = roundtrip(sd)
+        extra = set(out) - set(sd)
+        assert all(k.endswith("num_batches_tracked") for k in extra), extra
+        for k in sd:
+            np.testing.assert_array_equal(out[k], sd[k], err_msg=f"{path}:{k}")
+
+
+def test_export_cli_reference_loadable(reference_artifacts, small_config, tmp_path):
+    """import CLI -> export CLI -> the .pth files strict-load into
+    reference-layout torch modules (a reference user can consume them)."""
+    from ladine_tpu.cli.convert import main as convert_main
+
+    pre, diffu = reference_artifacts
+    imported = str(tmp_path / "imported")
+    rc = convert_main(["--cpu", "--pretrained_dir", pre, "--dataset", "ChestXRay",
+                       "--diffusion_ckpt", diffu[0], "--config", small_config,
+                       "--out", imported])
+    assert rc == 0
+
+    exported = str(tmp_path / "exported")
+    rc = convert_main(["--cpu", "--export", "--dataset", "ChestXRay",
+                       "--out", exported,
+                       "--guidance_ckpt", os.path.join(imported, "guidance_ChestXRay"),
+                       "--diffusion_ckpt", os.path.join(imported, "member_0")])
+    assert rc == 0
+
+    vit = _torch_vit(depth=DIMS["depth"], embed=DIMS["embed"], heads=DIMS["heads"],
+                     img=DIMS["img"], patch=DIMS["patch"])
+    vit.load_state_dict(
+        torch.load(os.path.join(exported, "vit_base_patch16_224_ChestXRay.pth"),
+                   weights_only=False), strict=True)
+    mlp = _torch_mapping_mlp(in_features=(DIMS["img"] // DIMS["patch"]) ** 2 * DIMS["embed"])
+    mlp.load_state_dict(
+        torch.load(os.path.join(exported, "MLPs", "block_0.pth"),
+                   weights_only=False), strict=True)
+    cm = _torch_conditional_model(data_dim=DIMS["img"] ** 2 * 3, hidden=16,
+                                  feat=16, y_dim=2, n_steps=11)
+    wrapper = torch.load(os.path.join(exported, "diffu0_ckpt_best_eph0_acc0.0000.pth"),
+                         weights_only=False)
+    assert set(wrapper) == {"noise_estimator", "optimizer", "epoch"}
+    cm.load_state_dict(wrapper["noise_estimator"], strict=True)
+
+    # and the exported weights equal the originals end-to-end
+    orig = torch.load(diffu[0], weights_only=False)["noise_estimator"]
+    for k, v in orig.items():
+        np.testing.assert_array_equal(
+            wrapper["noise_estimator"][k].numpy(), v.numpy(), err_msg=k)
+
+
+def test_export_cli_from_training_ckpt(tmp_path):
+    """--export unpacks a stacked TRAINING checkpoint (diffu_all*) into one
+    reference .pth per member, honoring --eval_ema."""
+    import jax
+
+    from ladine_tpu.cli.convert import main as convert_main
+    from ladine_tpu.models import ConditionalModel
+    from ladine_tpu.train import create_member_states, make_optimizer
+    from ladine_tpu.utils import save_checkpoint
+
+    model = ConditionalModel(data_dim=48, feature_dim=16, hidden_dim=16,
+                             y_dim=2, n_steps=11)
+    tx = make_optimizer("Adam", 1e-3)
+    states = create_member_states(model, jax.random.PRNGKey(0), tx, 3, batch_size=4)
+    # make EMA distinguishable from raw params
+    states = states.replace(ema=jax.tree.map(lambda x: x + 1.0, states.ema))
+    ck = str(tmp_path / "diffu_all0_ckpt_best_eph7_acc88.0")
+    save_checkpoint(ck, {"states": states, "guidance": None},
+                    {"epoch": 7, "accuracy": 88.0, "kind": "diffusion_members",
+                     "member_idx": None})
+
+    out = str(tmp_path / "exported")
+    rc = convert_main(["--cpu", "--export", "--out", out, "--diffusion_ckpt", ck])
+    assert rc == 0
+    names = sorted(f for f in os.listdir(out) if f.endswith(".pth"))
+    assert names == [f"diffu{k}_ckpt_best_eph7_acc88.0000.pth" for k in range(3)]
+
+    out_ema = str(tmp_path / "exported_ema")
+    rc = convert_main(["--cpu", "--export", "--eval_ema", "--out", out_ema,
+                       "--diffusion_ckpt", ck])
+    assert rc == 0
+    raw = torch.load(os.path.join(out, names[0]), weights_only=False)
+    ema = torch.load(os.path.join(out_ema, names[0]), weights_only=False)
+    w_raw = raw["noise_estimator"]["lin4.weight"].numpy()
+    w_ema = ema["noise_estimator"]["lin4.weight"].numpy()
+    np.testing.assert_allclose(w_ema, w_raw + 1.0, rtol=1e-6)
