@@ -15,7 +15,6 @@ import argparse
 import json
 import os
 import sys
-import threading
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -50,6 +49,11 @@ def main():
     ap.add_argument("--demo", action="store_true")
     ap.add_argument("--port", type=int, default=8787)
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--max_batch", type=int, default=70,
+                    help="micro-batch cap: concurrent requests coalesce into "
+                         "one device call up to this many images")
+    ap.add_argument("--max_wait_ms", type=float, default=10.0,
+                    help="how long a lone request lingers for co-riders")
     args = ap.parse_args()
 
     import jax
@@ -66,7 +70,12 @@ def main():
     else:
         ap.error("pass --artifact PATH or --demo")
     size = predictor.guidance.img_size
-    lock = threading.Lock()  # one device computation at a time
+    # concurrent requests coalesce into one device call (fixed dispatch cost
+    # ~43 ms/batch amortizes across co-riders; see infer/batching.py)
+    from ladine_tpu.infer import MicroBatcher
+
+    batcher = MicroBatcher(predictor.predict, max_batch=args.max_batch,
+                           max_wait_ms=args.max_wait_ms)
 
     class Handler(BaseHTTPRequestHandler):
         def _json(self, code, obj):
@@ -82,7 +91,8 @@ def main():
                 self._json(200, {"status": "ok", "image_size": size,
                                  "members": int(predictor.guidance.num_members),
                                  "mc_trials": predictor.mc_trials,
-                                 "ddim_steps": predictor.ddim_steps})
+                                 "ddim_steps": predictor.ddim_steps,
+                                 "batching": batcher.stats()})
             else:
                 self._json(404, {"error": "GET /health or POST /predict"})
 
@@ -93,8 +103,7 @@ def main():
                 length = int(self.headers.get("Content-Length", 0))
                 payload = json.loads(self.rfile.read(length))
                 images = np.asarray(payload["images"], np.float32)
-                with lock:
-                    out = predictor.predict(images)
+                out = batcher.predict(images)
                 self._json(200, {k: v.tolist() for k, v in out.items()})
             except (KeyError, TypeError, ValueError, json.JSONDecodeError) as e:
                 self._json(400, {"error": f"{type(e).__name__}: {e}"})

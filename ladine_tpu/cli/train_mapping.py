@@ -146,7 +146,10 @@ def main(argv=None) -> int:
         for k in range(n_train):
             if val_acc[k] > best[k]:
                 best[k] = val_acc[k]
-                best_params[k] = jax.tree.map(lambda x: np.asarray(x[k]), states.params)
+                # snapshot ON DEVICE: a host pull of a full-size 625M-param
+                # MLP through a remote-TPU tunnel costs minutes per epoch;
+                # device copies are ~ms and save_checkpoint device_gets once
+                best_params[k] = jax.tree.map(lambda x: x[k], states.params)
     for k in range(n_train):
         member = args.mlp_idx if args.mlp_idx is not None else k
         path = os.path.join(args.out, args.dataset, "MLPs", f"block_{member}")

@@ -138,6 +138,7 @@ def main(argv=None) -> int:
     eval_step = jax.jit(make_vit_eval_step(vit))
 
     best_acc = -1.0
+    best_params, best_epoch = None, -1
     for epoch in range(args.epochs):
         for images, labels in batches("train", args.batch_size, shuffle=True, seed=epoch):
             state, loss, acc = train_step(state, jnp.asarray(images), jnp.asarray(labels))
@@ -149,12 +150,14 @@ def main(argv=None) -> int:
         val_acc = 100.0 * correct / max(total, 1)
         logger.info(f"epoch {epoch}: train loss {float(loss):.4f} val acc {val_acc:.2f}%")
         if val_acc > best_acc:
-            best_acc = val_acc
-            path = os.path.join(args.out, f"{args.model_arch}_{args.dataset}"
-                                if args.model_arch != "vit" else f"vit_{args.dataset}")
-            save_checkpoint(path, {"params": state.params},
-                            {"epoch": epoch, "accuracy": val_acc, "kind": "vit"})
-            logger.info(f"saved best ViT to {path}")
+            # device-side snapshot; one device_get at the final save (a host
+            # pull per improvement is minutes over a remote-TPU tunnel)
+            best_acc, best_params, best_epoch = val_acc, state.params, epoch
+    path = os.path.join(args.out, f"{args.model_arch}_{args.dataset}"
+                        if args.model_arch != "vit" else f"vit_{args.dataset}")
+    save_checkpoint(path, {"params": best_params},
+                    {"epoch": best_epoch, "accuracy": best_acc, "kind": "vit"})
+    logger.info(f"saved best ViT (epoch {best_epoch}, acc {best_acc:.2f}%) to {path}")
     print(json.dumps({"mode": "train_transformer", "best_val_accuracy": best_acc}))
     return 0
 

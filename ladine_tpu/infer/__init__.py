@@ -16,3 +16,4 @@ from ladine_tpu.infer.evaluator import (
     make_eval_pipeline,
 )
 from ladine_tpu.infer.serve import Predictor
+from ladine_tpu.infer.batching import MicroBatcher
