@@ -79,6 +79,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--joint_train", action="store_true",
                    help="CE-update the guidance heads alongside every diffusion "
                         "step (reference aux_cls.joint_train path)")
+    p.add_argument("--light_ckpt", action="store_true",
+                   help="with --train: best checkpoints carry only "
+                        "params/EMA/batch_stats in the compute dtype (no "
+                        "optimizer state) — ~6x smaller; evaluable and "
+                        "exportable but not resumable. Useful over a remote "
+                        "tunnel where a full-state save costs minutes")
     p.add_argument("--precompute_guidance", action="store_true",
                    help="with --train: run the frozen guidance over the "
                         "train/valid splits ONCE, cache y0_hat per sample, "
@@ -252,7 +258,8 @@ def main(argv=None) -> int:
                               eval_ema=args.eval_ema,
                               vit_ckpt=args.vit_ckpt,
                               mlp_dir=args.mlp_ckpt_dir,
-                              precompute_yhat=args.precompute_guidance)
+                              precompute_yhat=args.precompute_guidance,
+                              light_ckpt=args.light_ckpt)
         summary = {"mode": "train", "best_accuracy": result["best_accuracy"],
                    "steps": result["steps"]}
         if args.export_predictor:

@@ -363,7 +363,8 @@ class Runner:
               eval_ema: bool = False,
               vit_ckpt: Optional[str] = None,
               mlp_dir: Optional[str] = None,
-              precompute_yhat: bool = False) -> Dict[str, Any]:
+              precompute_yhat: bool = False,
+              light_ckpt: bool = False) -> Dict[str, Any]:
         """Train ALL diffusion members concurrently (reference: one member
         per process invocation, train.sh), or just ``member_idx`` — the
         reference's per-member MLP_IDX workflow. ``resume_from`` restores
@@ -430,6 +431,14 @@ class Runner:
             gparams = gvars["params"]
             aux_opt = aux_tx.init(gparams)
         if resume_from:
+            import json as _json
+
+            meta_p = os.path.join(resume_from, "ladine_meta.json")
+            if os.path.exists(meta_p) and _json.load(open(meta_p)).get("light"):
+                raise ValueError(
+                    f"{resume_from} is a --light_ckpt checkpoint (no optimizer "
+                    "state); it can be evaluated/exported but not resumed"
+                )
             tree, meta = load_checkpoint(resume_from, target={"states": states, "guidance": gvars})
             states, gvars = tree["states"], tree["guidance"]
             if joint_train:
@@ -589,10 +598,30 @@ class Runner:
                             epoch, acc,
                         )
                     )
+                    if light_ckpt:
+                        # eval-relevant state only, cast to the compute dtype
+                        # ON DEVICE before the pull: the full fp32 train
+                        # state is ~17 GB and the remote tunnel moves
+                        # ~14 MB/s — a full save costs ~13 minutes, a light
+                        # bf16 one ~3 (the eval path casts to bf16 anyway)
+                        dt = self.eval_param_dtype()
+
+                        def lightcast(t):
+                            if dt is None:
+                                return t
+                            return jax.tree.map(
+                                lambda x: x.astype(dt)
+                                if jnp.issubdtype(x.dtype, jnp.floating) else x, t)
+
+                        payload = {"params": lightcast(states.params),
+                                   "ema": lightcast(states.ema),
+                                   "batch_stats": states.batch_stats}
                     save_checkpoint(
                         path,
-                        {"states": states, "guidance": gvars},
+                        {"states": payload if light_ckpt else states,
+                         "guidance": gvars},
                         {"epoch": epoch, "accuracy": acc, "kind": "diffusion_members",
+                         "light": light_ckpt,
                          # which guidance head(s) the member(s) trained
                          # against — eval must condition on the same heads
                          "member_idx": member_idx},

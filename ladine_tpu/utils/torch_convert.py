@@ -231,7 +231,16 @@ def save_torch_state_dict(sd: Mapping[str, np.ndarray], path: str,
     'noise_estimator' back, :690-691)."""
     import torch
 
-    tensors = {k: torch.from_numpy(np.ascontiguousarray(v)) for k, v in sd.items()}
+    def to_tensor(v):
+        v = np.ascontiguousarray(v)
+        try:
+            return torch.from_numpy(v)
+        except TypeError:
+            # non-numpy-native dtypes (e.g. ml_dtypes bfloat16 from a
+            # --light_ckpt save) -> fp32, the reference's storage dtype
+            return torch.from_numpy(v.astype(np.float32))
+
+    tensors = {k: to_tensor(v) for k, v in sd.items()}
     obj = (
         {wrapper_key: tensors, "optimizer": {}, "epoch": epoch}
         if wrapper_key

@@ -169,6 +169,7 @@ def main():
                       "--config", cfg, "--dataroot", ds, "--exp", exp, "--doc", doc,
                       "--seed", str(1000 + k), "--mlp_idx", str(k),
                       "--n_epochs", str(e3), "--precompute_guidance",
+                      "--light_ckpt",
                       "--vit_ckpt", vit_ckpt, "--mlp_ckpt_dir", mlp_dir],
                 log, env)
             ck = best_ckpt(doc)

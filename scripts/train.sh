@@ -22,7 +22,12 @@ args=(
   --seed "$SEED"
   --exp ./exp --doc "$TMP_NAME"
   --bf16
+  # cache the frozen guidance's per-sample output once: required on one
+  # 16 GB chip at full dims, faster everywhere (no per-step ViT forward)
+  --precompute_guidance
 )
+# single-chip full dims: train one member per invocation instead
+# (MLP_IDX=k, the reference's own train.sh workflow) — add --mlp_idx "$k"
 [[ -n "$CONFIG" ]] && args+=(--config "$CONFIG")
 if [[ -n "$GUIDANCE_CKPT" ]]; then
   args+=(--guidance_ckpt "$GUIDANCE_CKPT")
