@@ -206,7 +206,8 @@ class Runner:
     def init_guidance(self, key: jax.Array, ckpt_path: Optional[str] = None,
                       vit_ckpt: Optional[str] = None,
                       mlp_dir: Optional[str] = None,
-                      eval_cast: bool = False):
+                      eval_cast: bool = False,
+                      host_only: bool = False):
         """Guidance variables: random init, a full --guidance_ckpt, or the
         stage-1 artifacts assembled in place (the reference's make_files.sh +
         torch.load handoff, classification_train_separately.py:249-315).
@@ -216,7 +217,8 @@ class Runner:
         followed by an overwrite would hold two copies)."""
         images = jnp.zeros((1, self.img, self.img, 3))
         if not (ckpt_path or vit_ckpt or mlp_dir):
-            return self.guidance.init(key, images)
+            init = self.guidance.init(key, images)
+            return jax.device_get(init) if host_only else init
         from ladine_tpu.utils import assemble_guidance, validate_guidance_tree
 
         template = jax.eval_shape(lambda: self.guidance.init(key, images))
@@ -236,6 +238,8 @@ class Runner:
                 f"assembled guidance from stage-1 ckpts {vit_ckpt} + {mlp_dir}"
             )
         tree = validate_guidance_tree(tree, template, cast=False)
+        if host_only:
+            return tree
         return self.to_eval_vars(tree, eval_cast=eval_cast)
 
     def precompute_yhat(self, gvars, split: str, head_indices, batch_size: int
@@ -312,6 +316,16 @@ class Runner:
         params = st["ema"] if use_ema else st["params"]
         variables = {"params": params, "batch_stats": st["batch_stats"]}
         variables = self.to_eval_vars(variables, eval_cast=eval_cast)
+        guidance = tree.get("guidance")
+        if guidance is None and meta.get("guidance_src"):
+            # light checkpoint referencing the immutable stage-1 artifacts
+            src = meta["guidance_src"]
+            guidance = self.init_guidance(
+                jax.random.PRNGKey(0), src.get("guidance_ckpt"),
+                vit_ckpt=src.get("vit_ckpt"), mlp_dir=src.get("mlp_dir"),
+                host_only=True,
+            )
+        tree = {**tree, "guidance": guidance}
         n = jax.tree.leaves(params)[0].shape[0]
         self.logger.info(
             f"loaded {n} trained members from {path}"
@@ -384,12 +398,21 @@ class Runner:
             )
         head_indices = (member_idx,) if member_idx is not None else None
         n_train_members = 1 if member_idx is not None else c.diffusion.num_members
+        # frozen-guidance runs can reference the stage-1 artifacts instead of
+        # copying the tree into every checkpoint / keeping it on device
+        guidance_untouched = (
+            not pretrain_guidance_steps
+            and not joint_train
+            and not (self.demo and guidance_ckpt is None and vit_ckpt is None)
+        )
         gvars = self.init_guidance(jax.random.PRNGKey(0), guidance_ckpt,
                                    vit_ckpt=vit_ckpt, mlp_dir=mlp_dir)
         if pretrain_guidance_steps:
             gvars = self.pretrain_guidance(gvars, steps=pretrain_guidance_steps,
                                            batch_size=c.training.batch_size)
-        elif self.demo and guidance_ckpt is None:
+        elif self.demo and guidance_ckpt is None and vit_ckpt is None:
+            # demo pretrain only for a RANDOM guidance — stage-1 artifacts
+            # passed via --vit_ckpt are already trained and stay frozen
             gvars = self.pretrain_guidance(gvars)
 
         steps_per_epoch = max(1, self.num_batches("train", c.training.batch_size))
@@ -415,7 +438,15 @@ class Runner:
                                               c.training.batch_size)
             yhat_valid = self.precompute_yhat(gvars, "valid", hidx,
                                               c.sampling.batch_size)
-            gvars = jax.device_get(gvars)  # host copy for ckpts; frees HBM
+            # host copy for checkpoints; dropping the device tree frees HBM.
+            # Reload from local disk when possible — device_get of the
+            # full-size guidance is ~13 GB at ~14 MB/s over a remote tunnel
+            if (guidance_ckpt or vit_ckpt) and guidance_untouched:
+                gvars = self.init_guidance(
+                    jax.random.PRNGKey(0), guidance_ckpt,
+                    vit_ckpt=vit_ckpt, mlp_dir=mlp_dir, host_only=True)
+            else:
+                gvars = jax.device_get(gvars)
         states = create_member_states(self.cond, key, tx, n_train_members)
         mesh = self._maybe_mesh(c.training.batch_size) if member_idx is None else None
         start_epoch = 0
@@ -598,6 +629,12 @@ class Runner:
                             epoch, acc,
                         )
                     )
+                    meta = {"epoch": epoch, "accuracy": acc,
+                            "kind": "diffusion_members", "light": light_ckpt,
+                            # which guidance head(s) the member(s) trained
+                            # against — eval must condition on the same heads
+                            "member_idx": member_idx}
+                    ckpt_gvars = gvars
                     if light_ckpt:
                         # eval-relevant state only, cast to the compute dtype
                         # ON DEVICE before the pull: the full fp32 train
@@ -616,16 +653,30 @@ class Runner:
                         payload = {"params": lightcast(states.params),
                                    "ema": lightcast(states.ema),
                                    "batch_stats": states.batch_stats}
+                        if guidance_untouched and (guidance_ckpt or vit_ckpt):
+                            # the guidance IS the immutable stage-1 artifacts:
+                            # store their paths, not a ~13 GB copy per save
+                            ckpt_gvars = None
+                            meta["guidance_src"] = {
+                                "guidance_ckpt": os.path.abspath(guidance_ckpt)
+                                if guidance_ckpt else None,
+                                "vit_ckpt": os.path.abspath(vit_ckpt)
+                                if vit_ckpt else None,
+                                "mlp_dir": os.path.abspath(mlp_dir)
+                                if mlp_dir else None,
+                            }
                     save_checkpoint(
                         path,
                         {"states": payload if light_ckpt else states,
-                         "guidance": gvars},
-                        {"epoch": epoch, "accuracy": acc, "kind": "diffusion_members",
-                         "light": light_ckpt,
-                         # which guidance head(s) the member(s) trained
-                         # against — eval must condition on the same heads
-                         "member_idx": member_idx},
+                         "guidance": ckpt_gvars},
+                        meta,
                     )
+                    if light_ckpt and best_ckpt_path and best_ckpt_path != path:
+                        # keep only the newest best (light mode: disk thrift;
+                        # full mode preserves the reference's keep-all habit)
+                        import shutil
+
+                        shutil.rmtree(best_ckpt_path, ignore_errors=True)
                     if joint_train:
                         save_checkpoint(path + "_aux", {"aux_opt": aux_opt},
                                         {"kind": "aux_optimizer"})

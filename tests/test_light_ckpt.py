@@ -49,6 +49,59 @@ def test_light_ckpt_refuses_resume(tmp_path):
         runner.train(jax.random.PRNGKey(4), epochs=2, resume_from=out["best_ckpt_path"])
 
 
+def test_light_ckpt_references_stage1_guidance(tmp_path):
+    """With frozen stage-1 artifacts, light checkpoints store the artifact
+    PATHS instead of a full guidance copy, supersede previous bests on disk,
+    and the eval loader resolves the reference transparently."""
+    from PIL import Image
+
+    from ladine_tpu.cli.train_mapping import main as tm_main
+    from ladine_tpu.cli.train_transformer import main as tt_main
+    from ladine_tpu.cli.runner import Runner
+    from ladine_tpu.config import Config
+    from ladine_tpu.utils import load_checkpoint
+
+    # stage-1 artifacts at the Runner's demo geometry (16px, depth 5 = K)
+    rng = np.random.default_rng(7)
+    ds = tmp_path / "ds"
+    for split in ("training", "validation"):
+        for cls_idx, cls in enumerate(["NORMAL", "TUBERCULOSIS"]):
+            d = ds / split / cls
+            d.mkdir(parents=True)
+            for i in range(4):
+                arr = rng.integers(0, 40, size=(16, 16, 3)) + cls_idx * 140
+                Image.fromarray(arr.astype(np.uint8)).save(d / f"i{i}.png")
+    dims = ["--image_size", "16", "--patch_size", "8", "--embed_dim", "16",
+            "--depth", "5", "--num_heads", "2"]
+    models = str(tmp_path / "models")
+    assert tt_main(["--cpu", "--epochs", "1", "--out", models, *dims,
+                    "--dataroot", str(ds), "--batch_size", "4"]) == 0
+    assert tm_main(["--cpu", "--epochs", "1", "--num_members", "5",
+                    "--out", models, *dims, "--mlp_hidden_dims", "16", "8", "8",
+                    "--dataroot", str(ds), "--batch_size", "4",
+                    "--vit_ckpt", os.path.join(models, "vit_ChestXRay")]) == 0
+    vit_ckpt = os.path.join(models, "vit_ChestXRay")
+    mlp_dir = os.path.join(models, "ChestXRay", "MLPs")
+
+    runner = Runner(Config(), log_dir=str(tmp_path / "run"), demo=True)
+    out = runner.train(jax.random.PRNGKey(3), epochs=1, light_ckpt=True,
+                       vit_ckpt=vit_ckpt, mlp_dir=mlp_dir,
+                       precompute_yhat=True)
+    ck = out["best_ckpt_path"]
+    meta = json.load(open(os.path.join(ck, "ladine_meta.json")))
+    assert meta["guidance_src"]["vit_ckpt"] == os.path.abspath(vit_ckpt)
+
+    tree, _ = load_checkpoint(ck)
+    assert tree.get("guidance") is None  # no 13 GB copy embedded
+
+    variables, g, _ = runner.load_members_from_train_ckpt(ck)
+    assert g is not None and "vit" in g["params"]  # resolved from the source
+    # only ONE best checkpoint remains on disk (superseded ones pruned)
+    bests = [f for f in os.listdir(str(tmp_path / "run"))
+             if f.startswith("diffu_all") and not f.endswith((".json", "_aux"))]
+    assert len(bests) == 1
+
+
 def test_light_ckpt_bf16_casts_floats(tmp_path):
     import jax.numpy as jnp
 
