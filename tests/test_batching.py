@@ -118,3 +118,45 @@ def test_throughput_advantage_under_concurrency():
     elapsed = time.time() - t0
     assert elapsed < 8 * CALL_COST, f"no coalescing: {elapsed:.3f}s, calls={calls}"
     b.close()
+
+
+def test_microbatcher_with_real_predictor():
+    """End-to-end: concurrent callers through a real (tiny) Predictor get
+    well-formed per-row outputs from a coalesced device call."""
+    import jax
+    import jax.numpy as jnp
+
+    from ladine_tpu.infer import MicroBatcher, Predictor, stack_members
+    from ladine_tpu.models import ConditionalModel, SEViTGuidance
+    from ladine_tpu.ops import DiffusionSchedule
+
+    g = SEViTGuidance(num_classes=2, num_members=2, vit_depth=2, img_size=16,
+                      patch_size=8, embed_dim=16, num_heads=2,
+                      mlp_hidden_dims=(16, 8, 8))
+    gv = g.init(jax.random.PRNGKey(0), jnp.zeros((1, 16, 16, 3)))
+    m = ConditionalModel(data_dim=768, feature_dim=8, hidden_dim=8, y_dim=2,
+                         n_steps=11)
+    members = [m.init(jax.random.PRNGKey(i), jnp.zeros((1, 768)),
+                      jnp.zeros((1, 2)), jnp.asarray(0), jnp.full((1, 2), 0.5))
+               for i in range(2)]
+    predictor = Predictor(guidance=g, guidance_vars=gv, model=m,
+                          stacked_vars=stack_members(members),
+                          sched=DiffusionSchedule.create("linear", 10),
+                          mc_trials=2, ddim_steps=5)
+    b = MicroBatcher(predictor.predict, max_batch=8, max_wait_ms=100)
+    imgs = np.random.default_rng(0).random((3, 16, 16, 3)).astype(np.float32)
+
+    results = {}
+    ths = [threading.Thread(target=lambda i=i: results.update(
+        {i: b.predict(imgs[i:i + 1])})) for i in range(3)]
+    for t in ths:
+        t.start()
+    for t in ths:
+        t.join()
+    for i in range(3):
+        assert results[i]["probs"].shape == (1, 2)
+        assert np.isfinite(results[i]["probs"]).all()
+        np.testing.assert_allclose(results[i]["probs"].sum(axis=-1), 1.0,
+                                   rtol=1e-3)
+    assert b.stats()["device_calls"] < 3
+    b.close()
