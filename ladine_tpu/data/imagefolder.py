@@ -25,7 +25,7 @@ from __future__ import annotations
 import os
 from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass, field
-from typing import Iterator, List, Optional, Sequence, Tuple
+from typing import Any, Iterator, List, Optional, Sequence, Tuple
 
 import numpy as np
 
@@ -91,6 +91,10 @@ class ImageFolderDataset:
     mean: Optional[np.ndarray] = None
     std: Optional[np.ndarray] = None
     num_workers: int = 8
+    # keep decoded float32 images in RAM across epochs: PIL decode+resize of
+    # a split costs seconds per epoch while the accelerator's work is ~1 s —
+    # "auto" caches whenever the whole split fits in ~2 GB
+    cache_decoded: Any = "auto"
     paths: List[str] = field(init=False)
     labels: np.ndarray = field(init=False)
     classes: List[str] = field(init=False)
@@ -101,6 +105,10 @@ class ImageFolderDataset:
         self.paths, self.labels, self.classes = _list_samples(self.root)
         if self.preprocess == "standardized" and (self.mean is None or self.std is None):
             raise ValueError("standardized preprocess requires mean/std")
+        if self.cache_decoded == "auto":
+            per_img = self.image_size[0] * self.image_size[1] * 3 * 4
+            self.cache_decoded = len(self.paths) * per_img <= 2_000_000_000
+        object.__setattr__(self, "_decode_cache", {} if self.cache_decoded else None)
 
     def __len__(self) -> int:
         return len(self.paths)
@@ -121,10 +129,20 @@ class ImageFolderDataset:
 
     def load_indices(self, indices: Sequence[int]) -> np.ndarray:
         gray = self.preprocess == "grayscaled"
-        imgs = list(
-            self._pool().map(lambda i: _load_image(self.paths[i], self.image_size, gray), indices)
-        )
-        batch = np.stack(imgs)  # (B, H, W, 3)
+        cache = self._decode_cache
+        if cache is None:
+            imgs = list(
+                self._pool().map(lambda i: _load_image(self.paths[i], self.image_size, gray), indices)
+            )
+        else:
+            missing = [i for i in indices if i not in cache]
+            if missing:
+                for i, arr in zip(missing, self._pool().map(
+                        lambda i: _load_image(self.paths[i], self.image_size, gray),
+                        missing)):
+                    cache[i] = arr
+            imgs = [cache[i] for i in indices]
+        batch = np.stack(imgs)  # (B, H, W, 3) — a fresh copy; cache stays clean
         if self.preprocess == "standardized":
             batch = (batch - self.mean) / self.std
         return batch

@@ -138,3 +138,29 @@ def test_gmm_posterior():
     # predictive accuracy of the Bayes rule is high for separated means
     acc = ((p > 0.5) == (y == 1)).mean()
     assert acc > 0.9
+
+
+def test_decode_cache_identical_and_populated(fake_tree):
+    """cache_decoded='auto' (on, for small splits): batches identical to the
+    uncached path, decode happens once, stacked output is a fresh copy."""
+    root = os.path.join(fake_tree, "training")
+    hot = ImageFolderDataset(root, image_size=(16, 16))        # auto -> cached
+    cold = ImageFolderDataset(root, image_size=(16, 16), cache_decoded=False)
+    assert hot._decode_cache is not None and cold._decode_cache is None
+
+    a1 = hot.load_indices(range(5))
+    a2 = hot.load_indices(range(5))       # served from cache
+    b = cold.load_indices(range(5))
+    np.testing.assert_array_equal(a1, b)
+    np.testing.assert_array_equal(a1, a2)
+    assert len(hot._decode_cache) == 5
+
+    # mutating a returned batch must not poison the cache
+    a1[:] = -1.0
+    np.testing.assert_array_equal(hot.load_indices(range(5)), b)
+
+
+def test_decode_cache_auto_disables_for_huge_splits(fake_tree):
+    ds = ImageFolderDataset(os.path.join(fake_tree, "training"),
+                            image_size=(9000, 9000))  # 16 imgs x ~972 MB > 2 GB
+    assert ds._decode_cache is None
