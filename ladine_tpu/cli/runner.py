@@ -255,16 +255,18 @@ class Runner:
         member's ~14 GB train state arrives."""
         idx = jnp.asarray(tuple(head_indices))
 
+        # gvars is a jit ARGUMENT (a closure would bake the ~13 GB tree into
+        # the lowered program as constants)
         @jax.jit
-        def g_fn(images):
-            heads = self.guidance.apply(gvars, images)
+        def g_fn(g, images):
+            heads = self.guidance.apply(g, images)
             # fp32 softmax for a storage-stable host array (the in-step path
             # softmaxes in compute dtype; eval does fp32 too)
             return jax.nn.softmax(heads.astype(jnp.float32), axis=-1)[idx]
 
         pairs = []
         for images, _labels, bidx in self.batches(split, batch_size, with_indices=True):
-            yh = np.asarray(g_fn(jnp.asarray(images)))  # (K_sel, B, C)
+            yh = np.asarray(g_fn(gvars, jnp.asarray(images)))  # (K_sel, B, C)
             pairs.append((np.asarray(bidx), np.transpose(yh, (1, 0, 2))))
         n = max(int(b.max()) for b, _ in pairs) + 1
         out = np.zeros((n,) + pairs[0][1].shape[1:], np.float32)
@@ -511,8 +513,10 @@ class Runner:
                 c.diffusion.noise_prior,
             )
         else:
+            # guidance_vars is a STEP ARGUMENT (closure would bake ~13 GB of
+            # constants into the program; see make_full_train_step)
             raw_step = make_full_train_step(
-                self.guidance, gvars, self.cond, tx, self.sched,
+                self.guidance, self.cond, tx, self.sched,
                 n_train_members, c.data.num_classes, c.model.ema_rate,
                 head_indices=head_indices, noise_prior=c.diffusion.noise_prior,
             )
@@ -558,7 +562,8 @@ class Runner:
             else:
                 step_fn = jax.jit(
                     raw_step,
-                    in_shardings=(st_shard, data_s, data_s, rep),
+                    in_shardings=(st_shard, tree_shardings(gvars, rep),
+                                  data_s, data_s, rep),
                     out_shardings=(st_shard, member_sharding(mesh)),
                     donate_argnums=(0,),
                 )
@@ -601,7 +606,8 @@ class Runner:
                     states, losses = step_fn(states, x_flat, y0, yh, sub)
                 else:
                     images, labels = batch
-                    states, losses = step_fn(states, jnp.asarray(images), jnp.asarray(labels), sub)
+                    states, losses = step_fn(states, gvars, jnp.asarray(images),
+                                             jnp.asarray(labels), sub)
                 global_step += 1
                 if global_step % max(1, c.training.logging_freq // 10) == 0 or global_step == 1:
                     l = np.asarray(losses)
@@ -718,10 +724,13 @@ class Runner:
 
         pre = precomputed_yhat is not None
 
+        # gvars as a jit ARGUMENT, not a closure (constant-baking; see
+        # precompute_yhat). In the precomputed path gvars may live on host —
+        # never passed to the device.
         @jax.jit
-        def pipe(variables, images, y0_hat, key):
+        def pipe(g, variables, images, y0_hat, key):
             if not pre:
-                heads = self.guidance.apply(gvars, images)
+                heads = self.guidance.apply(g, images)
                 y0_hat = jax.nn.softmax(heads.astype(jnp.float32), axis=-1)[idx]
             x_flat = images.reshape(images.shape[0], -1)
             return nested_ensemble_sample(
@@ -739,7 +748,8 @@ class Runner:
                 images, labels = batch
                 yh = None
             key, sub = jax.random.split(key)
-            samples = pipe(variables, jnp.asarray(images), yh, sub)
+            samples = pipe(None if pre else gvars, variables,
+                           jnp.asarray(images), yh, sub)
             m, k, b, cl = samples.shape
             mv = np.asarray(majority_vote(samples.reshape(m * k, b, cl)))
             correct += int((mv == np.asarray(labels)).sum())
@@ -827,12 +837,12 @@ class Runner:
         c = self.config
 
         @jax.jit
-        def heads_fn(images):
-            return self.guidance.apply(gvars, images)
+        def heads_fn(g, images):
+            return self.guidance.apply(g, images)
 
         correct = total = 0
         for images, labels in self.batches(split, c.testing.batch_size):
-            heads = np.asarray(heads_fn(jnp.asarray(images)))  # (K+1, B, C)
+            heads = np.asarray(heads_fn(gvars, jnp.asarray(images)))  # (K+1, B, C)
             votes = heads.argmax(-1)  # (K+1, B)
             counts = (votes[..., None] == np.arange(c.data.num_classes)).sum(0)
             mv = counts.argmax(-1)

@@ -99,15 +99,6 @@ def make_eval_pipeline(
         if cfg.ddim_steps
         else None
     )
-    attack = (
-        make_attack(
-            cfg.attack_name,
-            cfg.attack_eps,
-            lambda x: guidance.apply(guidance_vars, x, method="vit_logits"),
-        )
-        if cfg.attack_name
-        else None
-    )
 
     corrupt = functools.partial(
         apply_corruptions,
@@ -119,12 +110,20 @@ def make_eval_pipeline(
         crop=cfg.crop,
     )
 
-    def pipeline(stacked_vars, images, labels, key):
+    # guidance_vars is an explicit jit ARGUMENT throughout (bound by partial
+    # on the jitted function below): a closure would bake the ~13 GB tree
+    # into the lowered program as constants — catastrophic for remote
+    # compilation and a full extra HBM copy
+    def pipeline(gvars, stacked_vars, images, labels, key):
         k_corrupt, k_attack, k_sample = jax.random.split(key, 3)
         images = corrupt(images, k_corrupt)
-        if attack is not None:
+        if cfg.attack_name:
+            attack = make_attack(
+                cfg.attack_name, cfg.attack_eps,
+                lambda x: guidance.apply(gvars, x, method="vit_logits"),
+            )
             images, _ = attack(images, labels, k_attack)
-        heads = guidance.apply(guidance_vars, images)  # (M+1, B, C)
+        heads = guidance.apply(gvars, images)  # (M+1, B, C)
         y0_hat = jax.nn.softmax(heads.astype(jnp.float32), axis=-1)
         vars_run = stacked_vars
         if cfg.selected_members is not None:
@@ -146,7 +145,7 @@ def make_eval_pipeline(
         )
 
     if mesh is None:
-        return jax.jit(pipeline)
+        return functools.partial(jax.jit(pipeline), guidance_vars)
 
     from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -164,14 +163,15 @@ def make_eval_pipeline(
         if images.shape[0] % data_dim != 0:
             if "plain" not in cache:
                 cache["plain"] = jax.jit(pipeline)
-            return cache["plain"](stacked_vars, images, labels, key)
+            return cache["plain"](guidance_vars, stacked_vars, images, labels, key)
         # build the sharded jit once (shardings need the variables' structure,
         # which we only see at the first call)
         if "fn" not in cache:
             vars_shard = jax.tree.map(lambda _: member, stacked_vars)
+            g_shard = jax.tree.map(lambda _: rep, guidance_vars)
             cache["fn"] = jax.jit(
                 pipeline,
-                in_shardings=(vars_shard, data, data, rep),
+                in_shardings=(g_shard, vars_shard, data, data, rep),
                 out_shardings=out,
             )
         # variables arriving with OTHER shardings (e.g. FSDP-trained state)
@@ -182,7 +182,7 @@ def make_eval_pipeline(
                 lambda x: jax.device_put(x, member), stacked_vars
             )
             cache["vars_src"] = stacked_vars
-        return cache["fn"](cache["vars"], images, labels, key)
+        return cache["fn"](guidance_vars, cache["vars"], images, labels, key)
 
     return jitted
 

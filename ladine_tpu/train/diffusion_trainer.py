@@ -210,7 +210,6 @@ def make_joint_train_step(
 
 def make_full_train_step(
     guidance: SEViTGuidance,
-    guidance_vars: Any,
     model: ConditionalModel,
     tx: optax.GradientTransformation,
     sched: DiffusionSchedule,
@@ -227,12 +226,18 @@ def make_full_train_step(
     members (default 0..num_members-1); a single index reproduces the
     reference's per-member MLP_IDX training runs.
 
-    (stacked_state, images NHWC, labels, key) -> (stacked_state, losses (M,))
+    The guidance VARIABLES are a step argument, not a factory closure: a
+    closed-over tree gets baked into the lowered program as constants —
+    ~13 GB of HLO literals at full dims (fatal for remote compilation, and
+    a duplicate HBM copy).
+
+    (stacked_state, guidance_vars, images NHWC, labels, key)
+        -> (stacked_state, losses (M,))
     """
     multi_step = make_multi_member_step(model, tx, sched, ema_rate, noise_prior)
     idx = jnp.asarray(head_indices if head_indices is not None else range(num_members))
 
-    def step(states, images, labels, key):
+    def step(states, guidance_vars, images, labels, key):
         heads = guidance.apply(guidance_vars, images)  # (M+1, B, C) logits
         y0_hat = jax.lax.stop_gradient(jax.nn.softmax(heads, axis=-1)[idx])
         y0, _ = one_hot_and_prototype(labels, num_classes)

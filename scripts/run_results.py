@@ -142,7 +142,9 @@ def main():
 
     # ---- guidance accuracy ---------------------------------------------
     g_log = os.path.join(w, "guid.log")
-    if not os.path.exists(g_log):
+    # resume on the JSON summary, not the log's existence (a killed attempt
+    # leaves a partial log behind)
+    if not (os.path.exists(g_log) and last_json(g_log)):
         sh(py + ["-m", "ladine_tpu.cli.main", *cpu, "--eval_guidance",
                  "--config", cfg, "--dataroot", ds, "--exp", exp, "--doc", "guid",
                  "--vit_ckpt", vit_ckpt, "--mlp_ckpt_dir", mlp_dir], g_log, env)

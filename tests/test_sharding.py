@@ -55,22 +55,25 @@ def test_sharded_full_train_step_matches_unsharded(sharded_setup):
     mesh, guidance, gvars, model, sched, tx, states = sharded_setup
     images = jax.random.uniform(jax.random.PRNGKey(2), (8, 16, 16, 3))
     labels = jnp.array([0, 1, 1, 0, 0, 1, 1, 0])
-    step = make_full_train_step(guidance, gvars, model, tx, sched, 4, 2)
+    step = make_full_train_step(guidance, model, tx, sched, 4, 2)
 
     # unsharded reference
-    ref_states, ref_losses = jax.jit(step)(states, images, labels, jax.random.PRNGKey(3))
+    ref_states, ref_losses = jax.jit(step)(states, gvars, images, labels,
+                                           jax.random.PRNGKey(3))
 
-    # sharded: member axis over 'member', batch over 'data'
+    # sharded: member axis over 'member', batch over 'data', guidance replicated
     st_shard = tree_shardings(states, member_sharding(mesh))
     sharded_step = jax.jit(
         step,
-        in_shardings=(st_shard, data_sharding(mesh), data_sharding(mesh), replicated(mesh)),
+        in_shardings=(st_shard, tree_shardings(gvars, replicated(mesh)),
+                      data_sharding(mesh), data_sharding(mesh), replicated(mesh)),
         out_shardings=(st_shard, member_sharding(mesh)),
     )
     states_s = shard_pytree(states, member_sharding(mesh))
     images_s = jax.device_put(images, data_sharding(mesh))
     labels_s = jax.device_put(labels, data_sharding(mesh))
-    out_states, out_losses = sharded_step(states_s, images_s, labels_s, jax.random.PRNGKey(3))
+    out_states, out_losses = sharded_step(states_s, gvars, images_s, labels_s,
+                                          jax.random.PRNGKey(3))
 
     np.testing.assert_allclose(np.asarray(out_losses), np.asarray(ref_losses), rtol=1e-5)
     # Adam's first step is ~lr * sign(grad); cross-device psum reduction order

@@ -125,10 +125,10 @@ def test_full_train_step_with_guidance():
     sched = DiffusionSchedule.create("linear", 5, 1e-4, 0.02)
     tx = make_optimizer("Adam", 1e-3)
     states = create_member_states(model, jax.random.PRNGKey(1), tx, 3, batch_size=4)
-    step = jax.jit(make_full_train_step(guidance, gvars, model, tx, sched, 3, 2))
+    step = jax.jit(make_full_train_step(guidance, model, tx, sched, 3, 2))
     images = jax.random.uniform(jax.random.PRNGKey(2), (4, 16, 16, 3))
     labels = jnp.array([0, 1, 1, 0])
-    new_states, losses = step(states, images, labels, jax.random.PRNGKey(3))
+    new_states, losses = step(states, gvars, images, labels, jax.random.PRNGKey(3))
     assert losses.shape == (3,)
     assert np.isfinite(np.asarray(losses)).all()
     # guidance is frozen: gvars unchanged by construction (not in state)
