@@ -240,8 +240,11 @@ def main(argv=None) -> int:
     )
 
     if args.eval_guidance:
+        # eval_cast halves the host->device transfer of the full-size tree
+        # (argmax-based accuracy is insensitive to bf16 weights)
         gvars = runner.init_guidance(jax.random.PRNGKey(0), args.guidance_ckpt,
-                                     vit_ckpt=args.vit_ckpt, mlp_dir=args.mlp_ckpt_dir)
+                                     vit_ckpt=args.vit_ckpt, mlp_dir=args.mlp_ckpt_dir,
+                                     eval_cast=not (args.demo and args.guidance_ckpt is None))
         if args.demo and args.guidance_ckpt is None:
             gvars = runner.pretrain_guidance(gvars)
         acc = runner.evaluate_guidance(gvars)

@@ -407,8 +407,14 @@ class Runner:
             and not joint_train
             and not (self.demo and guidance_ckpt is None and vit_ckpt is None)
         )
-        gvars = self.init_guidance(jax.random.PRNGKey(0), guidance_ckpt,
-                                   vit_ckpt=vit_ckpt, mlp_dir=mlp_dir)
+        gvars = self.init_guidance(
+            jax.random.PRNGKey(0), guidance_ckpt,
+            vit_ckpt=vit_ckpt, mlp_dir=mlp_dir,
+            # frozen-precompute guidance can live in the compute dtype —
+            # halves the 13 GB host->device transfer; joint/pretrain paths
+            # keep fp32 master weights
+            eval_cast=precompute_yhat and guidance_untouched,
+        )
         if pretrain_guidance_steps:
             gvars = self.pretrain_guidance(gvars, steps=pretrain_guidance_steps,
                                            batch_size=c.training.batch_size)

@@ -20,6 +20,7 @@ over the GLOBAL batch automatically (jnp.mean over a sharded axis).
 
 from __future__ import annotations
 
+import functools
 from typing import Any, Callable, Optional, Tuple
 
 import flax.struct
@@ -73,12 +74,29 @@ def create_member_states(
     batch_size: int = 2,
 ) -> MemberTrainState:
     """Stacked states for all members (independent inits, like the
-    reference's five separate runs)."""
-    states = [
-        create_member_state(model, k, tx, batch_size)
-        for k in jax.random.split(key, num_members)
-    ]
-    return jax.tree.map(lambda *xs: jnp.stack(xs), *states)
+    reference's five separate runs).
+
+    Members are built and stacked INCREMENTALLY: materializing all member
+    states and then stacking holds two full copies at once — at full dims a
+    single member's fp32 state (params/Adam moments/EMA) is ~11 GB, so the
+    transient 2x OOMs a 16 GB chip even for num_members=1."""
+    keys = jax.random.split(key, num_members)
+
+    # donating the state lets XLA alias the buffers: expand_dims is a
+    # zero-copy reshape, so the per-member expansion costs no extra HBM
+    @functools.partial(jax.jit, donate_argnums=0)
+    def expand(state):
+        return jax.tree.map(lambda x: jnp.expand_dims(x, 0), state)
+
+    out = None
+    for k in keys:
+        one = expand(create_member_state(model, k, tx, batch_size))
+        # concatenate one member at a time; the per-iteration transient is
+        # one member's state, not the whole ensemble's
+        out = one if out is None else jax.tree.map(
+            lambda a, b: jnp.concatenate([a, b], axis=0), out, one
+        )
+    return out
 
 
 def make_member_step(

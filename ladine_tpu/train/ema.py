@@ -18,8 +18,12 @@ import jax
 
 
 def ema_init(params: Any) -> Any:
-    """Register: shadow starts as a copy of the params (ema.py:10-14)."""
-    return jax.tree.map(lambda p: p, params)
+    """Register: shadow starts as a copy of the params (ema.py:10-14).
+
+    A REAL copy, not an alias: aliased leaves break buffer donation of the
+    train state ("attempt to donate the same buffer twice"), which the
+    full-dims single-chip paths rely on."""
+    return jax.tree.map(lambda p: p.copy() if hasattr(p, "copy") else p, params)
 
 
 def ema_update(ema: Any, params: Any, mu: float = 0.9999) -> Any:
