@@ -683,6 +683,10 @@ class Runner:
                          "guidance": ckpt_gvars},
                         meta,
                     )
+                    # drop the cast copies NOW: keeping ~2.8 GB of bf16
+                    # payload pinned until the next improvement pushes the
+                    # next train step's (state + grads) peak over 16 GB
+                    payload = ckpt_gvars = None
                     if light_ckpt and best_ckpt_path and best_ckpt_path != path:
                         # keep only the newest best (light mode: disk thrift;
                         # full mode preserves the reference's keep-all habit)
