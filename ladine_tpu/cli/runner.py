@@ -442,10 +442,42 @@ class Runner:
             # (~14 GB incl. gradients) cannot coexist on one 16 GB chip
             hidx = head_indices if head_indices is not None else tuple(
                 range(n_train_members))
-            yhat_train = self.precompute_yhat(gvars, "train", hidx,
-                                              c.training.batch_size)
-            yhat_valid = self.precompute_yhat(gvars, "valid", hidx,
-                                              c.sampling.batch_size)
+            all_heads = tuple(range(c.diffusion.num_members))
+            # one pass computes ALL heads — cache it next to the log dirs so
+            # the reference's per-member MLP_IDX workflow (5 invocations of
+            # this runner) pays the ~10-min transfer+forward once, not 5x.
+            # Keyed by the stage-1 artifact paths + mtimes.
+            cache_path = None
+            if guidance_untouched and (guidance_ckpt or vit_ckpt) and not self.demo:
+                import hashlib
+                import json as _json
+
+                sig_src = _json.dumps({
+                    "g": guidance_ckpt, "v": vit_ckpt, "m": mlp_dir,
+                    "mt": [os.path.getmtime(p) for p in
+                           (guidance_ckpt, vit_ckpt, mlp_dir)
+                           if p and os.path.exists(p)],
+                }, sort_keys=True)
+                sig = hashlib.sha1(sig_src.encode()).hexdigest()[:12]
+                cache_path = os.path.join(
+                    os.path.dirname(os.path.abspath(self.log_dir)),
+                    f"yhat_cache_{sig}.npz",
+                )
+            if cache_path and os.path.exists(cache_path):
+                z = np.load(cache_path)
+                yh_all_train, yh_all_valid = z["train"], z["valid"]
+                self.logger.info(f"loaded precomputed y0_hat from {cache_path}")
+            else:
+                yh_all_train = self.precompute_yhat(gvars, "train", all_heads,
+                                                    c.training.batch_size)
+                yh_all_valid = self.precompute_yhat(gvars, "valid", all_heads,
+                                                    c.sampling.batch_size)
+                if cache_path:
+                    np.savez(cache_path, train=yh_all_train, valid=yh_all_valid)
+                    self.logger.info(f"cached y0_hat to {cache_path}")
+            sel = list(hidx)
+            yhat_train = yh_all_train[:, sel, :]
+            yhat_valid = yh_all_valid[:, sel, :]
             # host copy for checkpoints; dropping the device tree frees HBM.
             # Reload from local disk when possible — device_get of the
             # full-size guidance is ~13 GB at ~14 MB/s over a remote tunnel

@@ -263,3 +263,38 @@ def test_eval_ema_rejects_per_member_ckpts(small_config, tmp_path):
         "--eval_ema", "--mc_trials", "2", "--ddim", "5",
     ])
     assert rc == 2
+
+
+def test_precompute_yhat_disk_cache_shared_across_members(
+        stage1_artifacts, small_config, tmp_path):
+    """Two --mlp_idx invocations share one cached y0_hat file (the guidance
+    forward runs once for all heads), and the cached run's ckpt evaluates."""
+    import yaml
+
+    from ladine_tpu.cli.main import main
+
+    vit_ckpt, mlp_dir = stage1_artifacts
+    exp = str(tmp_path / "exp")
+    for k in range(2):
+        rc = main([
+            "--train", "--config", small_config, "--cpu", "--exp", exp,
+            "--doc", f"m{k}", "--mlp_idx", str(k), "--n_epochs", "1",
+            "--precompute_guidance", "--light_ckpt",
+            "--vit_ckpt", vit_ckpt, "--mlp_ckpt_dir", mlp_dir,
+        ])
+        assert rc == 0
+    caches = [f for f in os.listdir(os.path.join(exp, "logs"))
+              if f.startswith("yhat_cache_")]
+    assert len(caches) == 1, caches
+    cfg = yaml.safe_load(open(small_config))
+    z = np.load(os.path.join(exp, "logs", caches[0]))
+    assert z["train"].shape[1] == cfg["diffusion"]["num_members"]  # ALL heads
+
+    m0 = [f for f in os.listdir(os.path.join(exp, "logs", "m0"))
+          if f.startswith("diffu0_")]
+    rc = main([
+        "--test", "--config", small_config, "--cpu", "--exp", exp, "--doc", "te",
+        "--mc_trials", "2", "--ddim", "5",
+        "--diffusion_ckpt", os.path.join(exp, "logs", "m0", m0[0]),
+    ])
+    assert rc == 0
