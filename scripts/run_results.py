@@ -95,7 +95,9 @@ def main():
     # here there are no pretrained weights in the image). Epochs are ~6 s
     # each on the chip once compiled.
     e1 = 2 if args.fast else 80
-    e3 = 4 if args.fast else 30
+    # diffusion members need real step counts to track the guidance (the
+    # reference trains 1000 epochs; at ~0.2 s/step 100 epochs is ~6 min)
+    e3 = 4 if args.fast else 100
     # stage-1 geometry must match the config (see configs/synthetic_tiny.yml)
     dims = (["--image_size", "32", "--patch_size", "8", "--embed_dim", "32",
              "--depth", "5", "--num_heads", "2"] if args.tiny else [])
