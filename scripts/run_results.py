@@ -154,12 +154,15 @@ def main():
 
     # ---- stage 3: five members, one per invocation ----------------------
     def best_ckpt(doc):
-        """Numerically newest best checkpoint (lexicographic sort misorders
-        eph9 vs eph12)."""
+        """Numerically newest COMPLETE best checkpoint (lexicographic sort
+        misorders eph9 vs eph12; ladine_meta.json is written after the
+        orbax payload, so its presence marks a finished save — a killed run
+        can leave a partial directory behind)."""
         import re
 
         found = [p for p in glob.glob(os.path.join(exp, "logs", doc, "diffu*_ckpt_best_*"))
-                 if not p.endswith("_aux")]
+                 if not p.endswith("_aux")
+                 and os.path.exists(os.path.join(p, "ladine_meta.json"))]
         return max(found, default=None,
                    key=lambda p: int(re.search(r"_eph(\d+)_", p).group(1)))
 
