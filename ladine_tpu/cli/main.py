@@ -268,26 +268,33 @@ def main(argv=None) -> int:
         if args.export_predictor:
             from ladine_tpu.infer import Predictor
 
-            states, gvars = result["states"], result["guidance"]
             if result.get("best_ckpt_path"):
                 # export the BEST checkpoint, not the final-epoch weights —
-                # the reported best_accuracy belongs to that checkpoint
-                from ladine_tpu.utils import load_checkpoint
-
-                tree, _ = load_checkpoint(
-                    result["best_ckpt_path"],
-                    target={"states": states, "guidance": gvars},
+                # the reported best_accuracy belongs to that checkpoint.
+                # The loader handles full AND light checkpoints, picks the
+                # EMA shadows under --eval_ema, and resolves guidance_src
+                # references
+                variables, g_tree, _ = runner.load_members_from_train_ckpt(
+                    result["best_ckpt_path"], use_ema=args.eval_ema,
+                    eval_cast=True,
                 )
-                states, gvars = tree["states"], tree["guidance"]
+                gvars = runner.to_eval_vars(g_tree, eval_cast=True)
             else:
                 print("warning: no best checkpoint saved; exporting final-epoch "
                       "weights", file=sys.stderr)
-            # with --eval_ema the reported best_accuracy was measured on the
-            # EMA shadows — the exported artifact must serve the same weights
-            variables = jax.vmap(
-                lambda s: {"params": s.ema if args.eval_ema else s.params,
-                           "batch_stats": s.batch_stats}
-            )(states)
+                states, gvars = result["states"], result["guidance"]
+                if gvars is None:
+                    gvars = runner.init_guidance(
+                        jax.random.PRNGKey(0), args.guidance_ckpt,
+                        vit_ckpt=args.vit_ckpt, mlp_dir=args.mlp_ckpt_dir,
+                        eval_cast=True,
+                    )
+                # with --eval_ema the reported best_accuracy was measured on
+                # the EMA shadows — the artifact must serve the same weights
+                variables = jax.vmap(
+                    lambda s: {"params": s.ema if args.eval_ema else s.params,
+                               "batch_stats": s.batch_stats}
+                )(states)
             predictor = Predictor(
                 guidance=runner.guidance, guidance_vars=gvars,
                 model=runner.cond, stacked_vars=variables, sched=runner.sched,

@@ -242,6 +242,24 @@ class Runner:
             return tree
         return self.to_eval_vars(tree, eval_cast=eval_cast)
 
+    def _yhat_cache_path(self, guidance_ckpt, vit_ckpt, mlp_dir) -> str:
+        """Disk location of the shared y0_hat cache, keyed by the stage-1
+        artifact paths + mtimes (so retrained artifacts invalidate it)."""
+        import hashlib
+        import json as _json
+
+        sig_src = _json.dumps({
+            "g": guidance_ckpt, "v": vit_ckpt, "m": mlp_dir,
+            "mt": [os.path.getmtime(p) for p in
+                   (guidance_ckpt, vit_ckpt, mlp_dir)
+                   if p and os.path.exists(p)],
+        }, sort_keys=True)
+        sig = hashlib.sha1(sig_src.encode()).hexdigest()[:12]
+        return os.path.join(
+            os.path.dirname(os.path.abspath(self.log_dir)),
+            f"yhat_cache_{sig}.npz",
+        )
+
     def precompute_yhat(self, gvars, split: str, head_indices, batch_size: int
                         ) -> np.ndarray:
         """Frozen-guidance predictions for every sample of a split, indexed by
@@ -407,14 +425,31 @@ class Runner:
             and not joint_train
             and not (self.demo and guidance_ckpt is None and vit_ckpt is None)
         )
-        gvars = self.init_guidance(
-            jax.random.PRNGKey(0), guidance_ckpt,
-            vit_ckpt=vit_ckpt, mlp_dir=mlp_dir,
-            # frozen-precompute guidance can live in the compute dtype —
-            # halves the 13 GB host->device transfer; joint/pretrain paths
-            # keep fp32 master weights
-            eval_cast=precompute_yhat and guidance_untouched,
-        )
+        # y0_hat disk cache (see the precompute block below): on a cache hit
+        # with --light_ckpt (checkpoints store artifact PATHS), the guidance
+        # is never needed at all — skip even loading it (~10 min of transfer
+        # per member invocation at full dims over a tunnel)
+        yhat_cache_path = None
+        if (precompute_yhat and guidance_untouched and not self.demo
+                and (guidance_ckpt or vit_ckpt)):
+            yhat_cache_path = self._yhat_cache_path(guidance_ckpt, vit_ckpt, mlp_dir)
+        yhat_cache_hit = yhat_cache_path and os.path.exists(yhat_cache_path)
+        skip_guidance_load = bool(yhat_cache_hit and light_ckpt)
+        if skip_guidance_load:
+            gvars = None
+            self.logger.info(
+                "y0_hat cache hit + light checkpoints: skipping the guidance "
+                "load entirely"
+            )
+        else:
+            gvars = self.init_guidance(
+                jax.random.PRNGKey(0), guidance_ckpt,
+                vit_ckpt=vit_ckpt, mlp_dir=mlp_dir,
+                # frozen-precompute guidance can live in the compute dtype —
+                # halves the 13 GB host->device transfer; joint/pretrain paths
+                # keep fp32 master weights
+                eval_cast=precompute_yhat and guidance_untouched,
+            )
         if pretrain_guidance_steps:
             gvars = self.pretrain_guidance(gvars, steps=pretrain_guidance_steps,
                                            batch_size=c.training.batch_size)
@@ -443,50 +478,34 @@ class Runner:
             hidx = head_indices if head_indices is not None else tuple(
                 range(n_train_members))
             all_heads = tuple(range(c.diffusion.num_members))
-            # one pass computes ALL heads — cache it next to the log dirs so
+            # one pass computes ALL heads — cached next to the log dirs so
             # the reference's per-member MLP_IDX workflow (5 invocations of
-            # this runner) pays the ~10-min transfer+forward once, not 5x.
-            # Keyed by the stage-1 artifact paths + mtimes.
-            cache_path = None
-            if guidance_untouched and (guidance_ckpt or vit_ckpt) and not self.demo:
-                import hashlib
-                import json as _json
-
-                sig_src = _json.dumps({
-                    "g": guidance_ckpt, "v": vit_ckpt, "m": mlp_dir,
-                    "mt": [os.path.getmtime(p) for p in
-                           (guidance_ckpt, vit_ckpt, mlp_dir)
-                           if p and os.path.exists(p)],
-                }, sort_keys=True)
-                sig = hashlib.sha1(sig_src.encode()).hexdigest()[:12]
-                cache_path = os.path.join(
-                    os.path.dirname(os.path.abspath(self.log_dir)),
-                    f"yhat_cache_{sig}.npz",
-                )
-            if cache_path and os.path.exists(cache_path):
-                z = np.load(cache_path)
+            # this runner) pays the ~10-min transfer+forward once, not 5x
+            if yhat_cache_hit:
+                z = np.load(yhat_cache_path)
                 yh_all_train, yh_all_valid = z["train"], z["valid"]
-                self.logger.info(f"loaded precomputed y0_hat from {cache_path}")
+                self.logger.info(f"loaded precomputed y0_hat from {yhat_cache_path}")
             else:
                 yh_all_train = self.precompute_yhat(gvars, "train", all_heads,
                                                     c.training.batch_size)
                 yh_all_valid = self.precompute_yhat(gvars, "valid", all_heads,
                                                     c.sampling.batch_size)
-                if cache_path:
-                    np.savez(cache_path, train=yh_all_train, valid=yh_all_valid)
-                    self.logger.info(f"cached y0_hat to {cache_path}")
+                if yhat_cache_path:
+                    np.savez(yhat_cache_path, train=yh_all_train, valid=yh_all_valid)
+                    self.logger.info(f"cached y0_hat to {yhat_cache_path}")
             sel = list(hidx)
             yhat_train = yh_all_train[:, sel, :]
             yhat_valid = yh_all_valid[:, sel, :]
-            # host copy for checkpoints; dropping the device tree frees HBM.
-            # Reload from local disk when possible — device_get of the
-            # full-size guidance is ~13 GB at ~14 MB/s over a remote tunnel
-            if (guidance_ckpt or vit_ckpt) and guidance_untouched:
-                gvars = self.init_guidance(
-                    jax.random.PRNGKey(0), guidance_ckpt,
-                    vit_ckpt=vit_ckpt, mlp_dir=mlp_dir, host_only=True)
-            else:
-                gvars = jax.device_get(gvars)
+            if not skip_guidance_load:
+                # host copy for checkpoints; dropping the device tree frees
+                # HBM. Reload from local disk when possible — device_get of
+                # the full-size guidance is ~13 GB over a remote tunnel
+                if (guidance_ckpt or vit_ckpt) and guidance_untouched:
+                    gvars = self.init_guidance(
+                        jax.random.PRNGKey(0), guidance_ckpt,
+                        vit_ckpt=vit_ckpt, mlp_dir=mlp_dir, host_only=True)
+                else:
+                    gvars = jax.device_get(gvars)
         states = create_member_states(self.cond, key, tx, n_train_members)
         mesh = self._maybe_mesh(c.training.batch_size) if member_idx is None else None
         start_epoch = 0
