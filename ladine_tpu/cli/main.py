@@ -127,6 +127,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--covered", type=float, nargs=2, default=[0.0, 0],
                    metavar=("K", "N"))
     p.add_argument("--crop", type=float, default=0.0)
+    p.add_argument("--suite", type=str, default=None,
+                   help="with --test: JSON file of named EvalConfig overrides "
+                        "({name: {field: value}}); runs every named config in "
+                        "ONE process (one checkpoint/guidance load instead of "
+                        "one per configuration — the load is minutes at full "
+                        "dims) and writes report_<name>.json incrementally")
     p.add_argument("--sweep", type=str, default=None,
                    metavar="PARAM=V1,V2,...",
                    help="with --test: sweep one corruption severity, e.g. "
@@ -393,6 +399,32 @@ def main(argv=None) -> int:
                                          eval_cast=True)
             stacked = runner.init_members(jax.random.PRNGKey(1), args.diffusion_ckpt,
                                           eval_cast=True)
+        if args.test and args.suite:
+            import dataclasses as _dc
+
+            with open(args.suite) as f:
+                suite = json.load(f)
+            rows = {}
+            for name, overrides in suite.items():
+                overrides = {k: tuple(v) if isinstance(v, list) else v
+                             for k, v in overrides.items()}
+                cfg_v = _dc.replace(eval_cfg, **overrides)
+                rep = runner.test(key, stacked, gvars, cfg_v)
+                rep.pop("samples", None), rep.pop("labels", None)
+                # incremental per-row artifact: a killed run keeps its rows
+                with open(os.path.join(log_dir, f"report_{name}.json"), "w") as f:
+                    json.dump(rep, f, indent=2)
+                rows[name] = {"accuracy": rep["mean_confidence_accuracy"],
+                              "mv_accuracy": rep["majority_vote_accuracy"],
+                              "ece": rep["ece"], "nll": rep["nll"],
+                              "brier": rep["brier"]}
+                print(json.dumps({"suite_row": name, **rows[name]}),
+                      file=sys.stderr)
+            result = {"mode": "suite", "rows": rows}
+            with open(os.path.join(log_dir, "report.json"), "w") as f:
+                json.dump(result, f, indent=2)
+            print(json.dumps(result))
+            return 0
         if args.test and args.sweep:
             param, _, values = args.sweep.partition("=")
             field_map = {"noise": "noise_std", "lowres": "low_resolution",

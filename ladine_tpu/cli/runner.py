@@ -319,7 +319,8 @@ class Runner:
         return stack_members(members)
 
     def load_members_from_train_ckpt(self, path: str, use_ema: bool = False,
-                                     eval_cast: bool = False):
+                                     eval_cast: bool = False,
+                                     resolve_guidance: bool = True):
         """Eval-side loader for a training checkpoint (the ``diffu_all*`` /
         ``diffu{k}*`` dirs saved by :meth:`train`): returns (stacked member
         variables, guidance variables). ``use_ema`` evaluates the EMA shadow
@@ -337,7 +338,7 @@ class Runner:
         variables = {"params": params, "batch_stats": st["batch_stats"]}
         variables = self.to_eval_vars(variables, eval_cast=eval_cast)
         guidance = tree.get("guidance")
-        if guidance is None and meta.get("guidance_src"):
+        if guidance is None and resolve_guidance and meta.get("guidance_src"):
             # light checkpoint referencing the immutable stage-1 artifacts
             src = meta["guidance_src"]
             guidance = self.init_guidance(
@@ -368,7 +369,9 @@ class Runner:
         parts, gvars, head_indices = [], None, []
         for p in paths:
             variables, g, meta = self.load_members_from_train_ckpt(
-                p, use_ema=use_ema, eval_cast=eval_cast)
+                p, use_ema=use_ema, eval_cast=eval_cast,
+                # the ~13 GB guidance resolution is needed once, not per ckpt
+                resolve_guidance=gvars is None)
             n_i = jax.tree.leaves(variables)[0].shape[0]
             idx = meta.get("member_idx")
             if idx is None and n_i == 1 and len(paths) > 1:

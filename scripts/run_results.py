@@ -198,41 +198,58 @@ def main():
     temp = calib["calibrated_temperature"]
     tflag = ["--temperature", str(temp)]
 
-    # ---- clean test: the PARITY workload (full 1000-step chain) ---------
-    clean_full = eval_step("test_full", ["--test", *tflag])
-    # and the serving sampler
-    clean_d50 = eval_step("test_d50", ["--test", "--ddim", "50", "--eta", "1.0", *tflag])
-    # EMA weights
-    clean_ema = eval_step("test_ema", ["--test", "--ddim", "50", "--eta", "1.0",
-                                       "--eval_ema", *tflag])
-
-    # ---- int8 eps matmuls (accuracy/ECE delta vs the bf16 row) ----------
-    clean_int8 = None
-    if not args.fast:
-        clean_int8 = eval_step("test_int8", ["--test", "--ddim", "50", "--eta", "1.0",
-                                             "--int8", *tflag])
-
-    # ---- corruptions (DDIM-50) ------------------------------------------
-    corr = {}
-    severities = [("noise", ["--noise_perturbation", "0.1"]),
-                  ("noise_hard", ["--noise_perturbation", "0.2"]),
-                  ("contrast", ["--contrast", "0.6"]),
-                  ("lowres", ["--low_resolution", "2"])]
+    # ---- the eval battery: ONE process (--suite), one ckpt/guidance load.
+    # Per-process loading is minutes at full dims; per-row reports land
+    # incrementally so a killed run keeps its completed rows.
+    d50 = {"ddim_steps": 50, "ddim_eta": 1.0}
+    suite = {
+        "full": {},  # the PARITY workload: full 1000-step ancestral chain
+        "d50": d50,  # the serving sampler
+        "noise": {**d50, "noise_std": 0.1},
+        "noise_hard": {**d50, "noise_std": 0.2},
+        "contrast": {**d50, "contrast": 0.6},
+        "lowres": {**d50, "low_resolution": 2},
+        "atk_fgsm": {**d50, "attack_name": "FGSM", "attack_eps": 0.03},
+        "atk_pgd": {**d50, "attack_name": "PGD", "attack_eps": 0.03},
+        "int8": {**d50, "use_int8": True},
+    }
     if args.fast:
-        severities = severities[:1]
-    for name, flags in severities:
-        corr[name] = eval_step(f"test_{name}",
-                               ["--test", "--ddim", "50", "--eta", "1.0", *flags, *tflag])
+        suite = {k: suite[k] for k in ("full", "d50", "noise", "atk_fgsm")}
+    suite_path = os.path.join(w, "suite.json")
+    with open(suite_path, "w") as f:
+        json.dump(suite, f)
+    sdir = os.path.join(exp, "logs", "suite")
+    missing = [n for n in suite
+               if not os.path.exists(os.path.join(sdir, f"report_{n}.json"))]
+    if missing:
+        sh(py + ["-m", "ladine_tpu.cli.main", *cpu, "--test",
+                 "--suite", suite_path, *tflag, *common, "--doc", "suite"],
+           log, env)
 
-    # ---- attacks ---------------------------------------------------------
-    atk = {}
-    for name in (["FGSM"] if args.fast else ["FGSM", "PGD"]):
-        atk[name] = eval_step(f"test_atk_{name.lower()}",
-                              ["--test", "--ddim", "50", "--eta", "1.0",
-                               "--attack_name", name, "--epsilon", "0.03", *tflag])
+    def row_report(name):
+        p = os.path.join(sdir, f"report_{name}.json")
+        return json.load(open(p)) if os.path.exists(p) else None
+
+    clean_full = row_report("full")
+    clean_d50 = row_report("d50")
+    clean_int8 = row_report("int8")
+    corr = {n: r for n in ("noise", "noise_hard", "contrast", "lowres")
+            if (r := row_report(n)) is not None}
+    atk = {n.split("_")[1].upper(): r for n in ("atk_fgsm", "atk_pgd")
+           if (r := row_report(n)) is not None}
+
+    # ---- EMA weights (separate process: different LOADED weights) -------
+    try:
+        clean_ema = eval_step("test_ema", ["--test", "--ddim", "50", "--eta", "1.0",
+                                           "--eval_ema", *tflag])
+    except RuntimeError as e:
+        print(f"[run] EMA step failed, continuing: {e}", file=sys.stderr)
+        clean_ema = None
 
     # ---- RESULTS.md -------------------------------------------------------
     def row(name, r):
+        if r is None:
+            return f"| {name} | — | — | — | — | — |"
         return (f"| {name} | {r['mean_confidence_accuracy']:.2f} | "
                 f"{r['majority_vote_accuracy']:.2f} | {r['ece']:.4f} | "
                 f"{r['nll']:.4f} | {r['brier']:.4f} |")

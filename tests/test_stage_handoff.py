@@ -298,3 +298,28 @@ def test_precompute_yhat_disk_cache_shared_across_members(
         "--diffusion_ckpt", os.path.join(exp, "logs", "m0", m0[0]),
     ])
     assert rc == 0
+
+
+def test_suite_mode_runs_named_configs_in_one_process(
+        trained_ckpt, small_config, tmp_path):
+    """--suite: several eval configurations, one load; per-row reports land
+    incrementally and the summary aggregates them."""
+    from ladine_tpu.cli.main import main
+
+    suite = {"clean": {"ddim_steps": 5, "ddim_eta": 1.0},
+             "noisy": {"ddim_steps": 5, "ddim_eta": 1.0, "noise_std": 0.1}}
+    sp = tmp_path / "suite.json"
+    sp.write_text(json.dumps(suite))
+    exp = str(tmp_path / "exp")
+    rc = main([
+        "--test", "--config", small_config, "--cpu", "--exp", exp, "--doc", "s",
+        "--mc_trials", "2", "--suite", str(sp),
+        "--diffusion_ckpt", trained_ckpt,
+    ])
+    assert rc == 0
+    d = os.path.join(exp, "logs", "s")
+    for name in suite:
+        rep = json.load(open(os.path.join(d, f"report_{name}.json")))
+        assert 0 <= rep["ece"] <= 1
+    summary = json.load(open(os.path.join(d, "report.json")))
+    assert set(summary["rows"]) == {"clean", "noisy"}
