@@ -298,8 +298,9 @@ def main():
         "- The full-chain and DDIM-50 rows should agree closely (sampler",
         "  equivalence at eta=1; see examples/gmm_posterior.py for the",
         "  statistical validation).",
-        "- EMA-vs-raw deltas are expected to be small at these epoch counts;",
-        "  the row demonstrates the --eval_ema path end-to-end.",
+        "- The EMA row lags raw weights BY CONSTRUCTION at short schedules:",
+        "  mu=0.9999 needs ~10k+ steps to track (the reference trains 1000",
+        "  epochs); the row demonstrates the --eval_ema path end-to-end.",
         "- Attack rows measure robustness of the nested ensemble to white-box",
         "  attacks on the ViT (the reference's test_atk protocol).",
     ]
