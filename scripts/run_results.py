@@ -127,7 +127,6 @@ def main():
     # full-size Adam states (~37 GB fp32) exceed one 16 GB chip
     s1b_log = os.path.join(w, "stage1b.log")
     mlp_dir = os.path.join(models, "ChestXRay", "MLPs")
-    s1b_accs = []
     for k in range(5):
         if not os.path.isdir(os.path.join(mlp_dir, f"block_{k}")):
             timings[f"stage1b_m{k}_s"] = sh(
@@ -137,10 +136,15 @@ def main():
                       "--vit_ckpt", vit_ckpt, "--num_members", "5",
                       "--mlp_idx", str(k)],
                 s1b_log, env)
-            j = last_json(s1b_log)
-            s1b_accs.extend((j or {}).get("best_val_accuracies", ["?"]))
-    s1b = {"best_val_accuracies": s1b_accs} if s1b_accs else (
-        last_json(s1b_log) if os.path.exists(s1b_log) else None)
+    # read each member's accuracy from its saved checkpoint metadata, not the
+    # run log — a resumed run retrains only the missing members, so the log
+    # holds a partial list
+    s1b_accs = []
+    for k in range(5):
+        meta_p = os.path.join(mlp_dir, f"block_{k}", "ladine_meta.json")
+        acc = json.load(open(meta_p)).get("accuracy") if os.path.exists(meta_p) else None
+        s1b_accs.append(round(acc, 2) if acc is not None else "?")
+    s1b = {"best_val_accuracies": s1b_accs}
 
     # ---- guidance accuracy ---------------------------------------------
     g_log = os.path.join(w, "guid.log")
@@ -209,6 +213,10 @@ def main():
         "noise_hard": {**d50, "noise_std": 0.2},
         "contrast": {**d50, "contrast": 0.6},
         "lowres": {**d50, "low_resolution": 2},
+        # occlusion + crop complete the reference's six-corruption order
+        # (classification_train_separately.py:726-739)
+        "cover": {**d50, "cover": [0.05, 4]},
+        "crop": {**d50, "crop": 0.1},
         "atk_fgsm": {**d50, "attack_name": "FGSM", "attack_eps": 0.03},
         "atk_pgd": {**d50, "attack_name": "PGD", "attack_eps": 0.03},
         "int8": {**d50, "use_int8": True},
@@ -233,7 +241,8 @@ def main():
     clean_full = row_report("full")
     clean_d50 = row_report("d50")
     clean_int8 = row_report("int8")
-    corr = {n: r for n in ("noise", "noise_hard", "contrast", "lowres")
+    corr = {n: r for n in ("noise", "noise_hard", "contrast", "lowres",
+                           "cover", "crop")
             if (r := row_report(n)) is not None}
     atk = {n.split("_")[1].upper(): r for n in ("atk_fgsm", "atk_pgd")
            if (r := row_report(n)) is not None}
@@ -257,6 +266,9 @@ def main():
     import jax
 
     platform = "cpu" if args.cpu else jax.devices()[0].platform
+    sys.path.insert(0, os.path.join(REPO, "scripts"))
+    from make_synth_medical import bayes_accuracy
+
     lines = [
         "# RESULTS — full-pipeline evidence run (synthetic 224x224, parity dims)",
         "",
@@ -266,6 +278,14 @@ def main():
         "ViT-B/16 guidance, 5 mapping MLPs (150528->4096->2048->128), 5 CARD",
         "members (150528->4096 encoder, T=1000), MC trials 20, test batch 70",
         "(drop_last). Reproduce with `python scripts/run_results.py --work <dir>`.",
+        "",
+        "The task is deliberately NON-SATURATING: both classes contain the same",
+        "feature types (blobs + ridges); the class signal is only the mixture",
+        "rate, drawn from overlapping Beta priors, with per-image SNR jitter.",
+        f"The analytic Bayes-optimal accuracy is **{100 * bayes_accuracy():.2f}%**",
+        "(BetaBinomial count overlap; see the generator docstring) — accuracy,",
+        "ECE, NLL, Brier and the PIW/variance uncertainty signals therefore have",
+        "real headroom to discriminate between clean/corrupted/attacked inputs.",
         "",
         f"Hardware: `{platform}` (one chip). Stages: 1a ViT fine-tune ({e1} ep),",
         f"1b mapping MLPs ({e1} ep), 3 per-member diffusion training ({e3} ep,",
