@@ -46,7 +46,11 @@ def apgd_ce(
     n_iter: int = 100,
     rho: float = 0.75,
     alpha_momentum: float = 0.75,
+    x_init: jnp.ndarray = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """``x_init`` overrides the random start point (oracle tests inject the
+    same start into this and the torch reference transcription so the
+    deterministic trajectory can be compared step-for-step)."""
     b = x.shape[0]
     flags = jnp.asarray(_checkpoints(n_iter))
     # distance between consecutive checkpoints, for the rho test
@@ -68,7 +72,11 @@ def apgd_ce(
     def project(z):
         return jnp.clip(jnp.clip(z, x - eps, x + eps), 0.0, 1.0)
 
-    x0 = project(x + jax.random.uniform(key, x.shape, x.dtype, -eps, eps))
+    x0 = (
+        project(jnp.asarray(x_init, x.dtype))
+        if x_init is not None
+        else project(x + jax.random.uniform(key, x.shape, x.dtype, -eps, eps))
+    )
     f0 = ce(x0)
     g0 = grad_fn(x0)
     eta0 = jnp.full((b, 1, 1, 1), 2.0 * eps)

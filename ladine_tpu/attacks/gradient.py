@@ -29,6 +29,12 @@ statistical).
 The reference's foolbox import is a latent bug (absent from
 requirements.txt, SURVEY.md C11); here the attacks are first-class, jittable,
 and run on TPU — ``logits_fn`` is any pure (B,H,W,C)->(B,classes) function.
+
+The constants above pin the CONFIGURATION; the UPDATE EQUATIONS themselves
+are numerically cross-validated step-for-step against torch transcriptions
+of foolbox's BaseGradientDescent.run / CW and APGD's Algorithm 1 in
+tests/test_attack_oracle.py (deterministic paths exact; random starts
+validated distributionally in tests/test_attacks.py).
 """
 
 from __future__ import annotations
@@ -150,14 +156,20 @@ def l2pgd(
     key: jax.Array,
     steps: int = 50,
     rel_stepsize: float = 0.025,
+    random_start: bool = True,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """L2 projected gradient descent (attack.py:41-60)."""
+    """L2 projected gradient descent (attack.py:41-60). ``random_start``
+    mirrors foolbox's flag (default True, as the reference runs it); the
+    deterministic path exists for oracle tests (tests/test_attack_oracle.py)."""
     alpha = eps * rel_stepsize
-    k_dir, k_rad = jax.random.split(key)
-    u = jax.random.normal(k_dir, x.shape, x.dtype)
-    u = u / jnp.maximum(jnp.sqrt(jnp.sum(u**2, axis=(1, 2, 3), keepdims=True)), 1e-12)
-    r = jax.random.uniform(k_rad, (x.shape[0], 1, 1, 1)) ** (1.0 / (x[0].size))
-    adv = jnp.clip(x + eps * r * u, 0.0, 1.0)
+    if random_start:
+        k_dir, k_rad = jax.random.split(key)
+        u = jax.random.normal(k_dir, x.shape, x.dtype)
+        u = u / jnp.maximum(jnp.sqrt(jnp.sum(u**2, axis=(1, 2, 3), keepdims=True)), 1e-12)
+        r = jax.random.uniform(k_rad, (x.shape[0], 1, 1, 1)) ** (1.0 / (x[0].size))
+        adv = jnp.clip(x + eps * r * u, 0.0, 1.0)
+    else:
+        adv = x
 
     def body(i, adv):
         g = _ce_grad(logits_fn, adv, labels)
