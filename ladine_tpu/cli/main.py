@@ -73,6 +73,13 @@ def build_parser() -> argparse.ArgumentParser:
                         "applies its EMA)")
     p.add_argument("--resume_training", type=str, default=None,
                    help="checkpoint dir to resume training from")
+    p.add_argument("--allow_random_init", action="store_true",
+                   help="with --test/--calib: permit evaluating randomly "
+                        "initialized members/guidance (otherwise a hard "
+                        "error outside --demo — the reference always loads "
+                        "checkpoints here, classification_train_separately"
+                        ".py:684-691, and random-model metrics look "
+                        "plausible but are garbage)")
     p.add_argument("--pretrain_guidance", type=int, default=0,
                    help="CE-pretrain the guidance heads for N steps before "
                         "diffusion training (reference aux_cls.pre_train path)")
@@ -393,6 +400,21 @@ def main(argv=None) -> int:
                       "per-member variable checkpoints carry no EMA shadows",
                       file=sys.stderr)
                 return 2
+            if not args.demo and not args.allow_random_init:
+                # random members/guidance produce plausible-looking garbage
+                # metrics; the reference always loads checkpoints here
+                # (classification_train_separately.py:684-691)
+                missing = []
+                if not args.diffusion_ckpt:
+                    missing.append("members (--diffusion_ckpt)")
+                if not (args.guidance_ckpt or args.vit_ckpt):
+                    missing.append("guidance (--guidance_ckpt or --vit_ckpt)")
+                if missing:
+                    print("refusing to evaluate randomly initialized "
+                          + " and ".join(missing)
+                          + "; pass --allow_random_init to override",
+                          file=sys.stderr)
+                    return 2
             gvars = runner.init_guidance(jax.random.PRNGKey(0), args.guidance_ckpt,
                                          vit_ckpt=args.vit_ckpt,
                                          mlp_dir=args.mlp_ckpt_dir,

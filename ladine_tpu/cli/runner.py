@@ -243,16 +243,34 @@ class Runner:
         return self.to_eval_vars(tree, eval_cast=eval_cast)
 
     def _yhat_cache_path(self, guidance_ckpt, vit_ckpt, mlp_dir) -> str:
-        """Disk location of the shared y0_hat cache, keyed by the stage-1
-        artifact paths + mtimes (so retrained artifacts invalidate it)."""
+        """Disk location of the shared y0_hat cache. The signature covers
+        everything the cached predictions depend on: the stage-1 artifact
+        paths + their CONTENT mtimes (recursive max over nested files —
+        directory mtimes don't change when only nested contents do), the
+        dataset root/name/preprocess/image size, BOTH split lengths, and
+        num_members — so a regenerated dataset or a changed ensemble size
+        invalidates the cache instead of silently training members against
+        another dataset's per-sample predictions."""
         import hashlib
         import json as _json
 
+        def content_mtime(p):
+            if os.path.isdir(p):
+                mts = [os.path.getmtime(os.path.join(r, f))
+                       for r, _dirs, files in os.walk(p) for f in files]
+                return [len(mts), max(mts, default=0.0)]
+            return [1, os.path.getmtime(p)]
+
+        c = self.config
         sig_src = _json.dumps({
             "g": guidance_ckpt, "v": vit_ckpt, "m": mlp_dir,
-            "mt": [os.path.getmtime(p) for p in
-                   (guidance_ckpt, vit_ckpt, mlp_dir)
+            "mt": [content_mtime(p) for p in (guidance_ckpt, vit_ckpt, mlp_dir)
                    if p and os.path.exists(p)],
+            "dataroot": os.path.abspath(c.data.dataroot) if c.data.dataroot else None,
+            "dataset": c.data.dataset, "preprocess": c.data.preprocess,
+            "img": self.img, "num_members": c.diffusion.num_members,
+            "n_train": len(self._dataset("train")),
+            "n_valid": len(self._dataset("valid")),
         }, sort_keys=True)
         sig = hashlib.sha1(sig_src.encode()).hexdigest()[:12]
         return os.path.join(
@@ -271,16 +289,18 @@ class Runner:
         is also what makes full-dims single-chip training fit: the fp32
         guidance tree (ViT + 5 mapping MLPs ~ 13 GB) leaves HBM before the
         member's ~14 GB train state arrives."""
-        idx = jnp.asarray(tuple(head_indices))
+        idx = tuple(int(i) for i in head_indices)
 
         # gvars is a jit ARGUMENT (a closure would bake the ~13 GB tree into
         # the lowered program as constants)
         @jax.jit
         def g_fn(g, images):
-            heads = self.guidance.apply(g, images)
+            # heads_subset: only the requested heads' compute (skips the
+            # full-ViT forward for mapping-only head sets)
+            heads = self.guidance.apply(g, images, idx, method="heads_subset")
             # fp32 softmax for a storage-stable host array (the in-step path
             # softmaxes in compute dtype; eval does fp32 too)
-            return jax.nn.softmax(heads.astype(jnp.float32), axis=-1)[idx]
+            return jax.nn.softmax(heads.astype(jnp.float32), axis=-1)
 
         pairs = []
         for images, _labels, bidx in self.batches(split, batch_size, with_indices=True):
@@ -299,12 +319,27 @@ class Runner:
                      eval_cast: bool = False):
         c = self.config
         if ckpt_paths:
+            from ladine_tpu.utils import validate_guidance_tree
+
+            # validate each restore against an eval_shape skeleton BEFORE
+            # stacking: a wrong/truncated --diffusion_ckpt otherwise fails
+            # later with an obscure stack/apply error
+            template = jax.eval_shape(
+                lambda: self.cond.init(
+                    jax.random.PRNGKey(0), jnp.zeros((1, self.cond.data_dim)),
+                    jnp.zeros((1, c.data.num_classes)), jnp.asarray(0),
+                    jnp.full((1, c.data.num_classes), 1.0 / c.data.num_classes),
+                )
+            )
             # host restore -> per-member device placement (bf16 params when
             # eval_cast): stacking five fp32 full-size members on device
             # (~14 GB) plus their load-time copies would OOM one chip
             loaded = []
             for p in ckpt_paths:
                 tree, _ = load_checkpoint(p)
+                tree = validate_guidance_tree(
+                    tree, template, cast=False, what=f"member checkpoint {p}"
+                )
                 loaded.append(self.to_eval_vars(tree, eval_cast=eval_cast))
             self.logger.info(f"loaded {len(loaded)} diffusion members")
             return stack_members(loaded)
@@ -339,11 +374,35 @@ class Runner:
         variables = self.to_eval_vars(variables, eval_cast=eval_cast)
         guidance = tree.get("guidance")
         if guidance is None and resolve_guidance and meta.get("guidance_src"):
-            # light checkpoint referencing the immutable stage-1 artifacts
+            # light checkpoint referencing the immutable stage-1 artifacts;
+            # absolute paths first, then relative-to-the-checkpoint (the
+            # checkpoint may have been moved to another machine together
+            # with its artifact tree)
             src = meta["guidance_src"]
+            rel = meta.get("guidance_src_rel") or {}
+
+            def resolve(name):
+                p = src.get(name)
+                if p and os.path.exists(p):
+                    return p
+                r = rel.get(name)
+                if r:
+                    cand = os.path.normpath(os.path.join(path, r))
+                    if os.path.exists(cand):
+                        return cand
+                if p or r:
+                    raise FileNotFoundError(
+                        f"light checkpoint {path} references its guidance "
+                        f"{name} at {p!r} (relative: {r!r}) but neither "
+                        "resolves on this machine — move the stage-1 "
+                        "artifacts alongside the checkpoint, or pass "
+                        "--guidance_ckpt/--vit_ckpt explicitly"
+                    )
+                return None
+
             guidance = self.init_guidance(
-                jax.random.PRNGKey(0), src.get("guidance_ckpt"),
-                vit_ckpt=src.get("vit_ckpt"), mlp_dir=src.get("mlp_dir"),
+                jax.random.PRNGKey(0), resolve("guidance_ckpt"),
+                vit_ckpt=resolve("vit_ckpt"), mlp_dir=resolve("mlp_dir"),
                 host_only=True,
             )
         tree = {**tree, "guidance": guidance}
@@ -487,6 +546,19 @@ class Runner:
             if yhat_cache_hit:
                 z = np.load(yhat_cache_path)
                 yh_all_train, yh_all_valid = z["train"], z["valid"]
+                # the cache signature covers dataset/num_members already;
+                # this guards against a hand-copied or corrupted cache file
+                n_tr, n_va = len(self._dataset("train")), len(self._dataset("valid"))
+                want = c.diffusion.num_members
+                if (yh_all_train.shape[0] != n_tr or yh_all_train.shape[1] != want
+                        or yh_all_valid.shape[0] != n_va
+                        or yh_all_valid.shape[1] != want):
+                    raise ValueError(
+                        f"y0_hat cache {yhat_cache_path} does not match this "
+                        f"run: cached train {yh_all_train.shape} / valid "
+                        f"{yh_all_valid.shape}, expected ({n_tr}, {want}, C) / "
+                        f"({n_va}, {want}, C); delete the cache file"
+                    )
                 self.logger.info(f"loaded precomputed y0_hat from {yhat_cache_path}")
             else:
                 yh_all_train = self.precompute_yhat(gvars, "train", all_heads,
@@ -721,15 +793,22 @@ class Runner:
                                    "batch_stats": states.batch_stats}
                         if guidance_untouched and (guidance_ckpt or vit_ckpt):
                             # the guidance IS the immutable stage-1 artifacts:
-                            # store their paths, not a ~13 GB copy per save
+                            # store their paths, not a ~13 GB copy per save.
+                            # Paths are recorded absolute AND relative to the
+                            # checkpoint dir, so a checkpoint moved to
+                            # another machine together with its artifacts
+                            # (the remote-tunnel workflow) still resolves
                             ckpt_gvars = None
+                            srcs = {"guidance_ckpt": guidance_ckpt,
+                                    "vit_ckpt": vit_ckpt, "mlp_dir": mlp_dir}
                             meta["guidance_src"] = {
-                                "guidance_ckpt": os.path.abspath(guidance_ckpt)
-                                if guidance_ckpt else None,
-                                "vit_ckpt": os.path.abspath(vit_ckpt)
-                                if vit_ckpt else None,
-                                "mlp_dir": os.path.abspath(mlp_dir)
-                                if mlp_dir else None,
+                                k: os.path.abspath(v) if v else None
+                                for k, v in srcs.items()
+                            }
+                            meta["guidance_src_rel"] = {
+                                k: os.path.relpath(os.path.abspath(v), path)
+                                if v else None
+                                for k, v in srcs.items()
                             }
                     save_checkpoint(
                         path,
@@ -778,7 +857,10 @@ class Runner:
                        "batch_stats": s.batch_stats}
         )(states)
         n_members = jax.tree.leaves(states.step)[0].shape[0]
-        idx = jnp.asarray(head_indices if head_indices is not None else range(n_members))
+        idx = tuple(
+            int(i) for i in
+            (head_indices if head_indices is not None else range(n_members))
+        )
         val_steps = c.diffusion.val_ddim_steps or c.diffusion.ddim_steps
         tau = (
             ddim_timesteps(self.sched.num_timesteps, val_steps, c.diffusion.skip_type)
@@ -794,8 +876,8 @@ class Runner:
         @jax.jit
         def pipe(g, variables, images, y0_hat, key):
             if not pre:
-                heads = self.guidance.apply(g, images)
-                y0_hat = jax.nn.softmax(heads.astype(jnp.float32), axis=-1)[idx]
+                heads = self.guidance.apply(g, images, idx, method="heads_subset")
+                y0_hat = jax.nn.softmax(heads.astype(jnp.float32), axis=-1)
             x_flat = images.reshape(images.shape[0], -1)
             return nested_ensemble_sample(
                 self.cond, variables, x_flat, y0_hat, key, self.sched,

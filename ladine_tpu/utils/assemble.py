@@ -89,13 +89,16 @@ def assemble_guidance(
     return {"params": gparams}
 
 
-def validate_guidance_tree(gvars: Any, template: Any, cast: bool = True) -> Any:
-    """Check an assembled tree against a guidance template (a real init or a
+def validate_guidance_tree(gvars: Any, template: Any, cast: bool = True,
+                           what: str = "assembled guidance") -> Any:
+    """Check an assembled tree against a template (a real init or a
     ``jax.eval_shape`` skeleton — only shapes/dtypes are read): same
     structure, same leaf shapes. Returns the tree cast+materialized to the
     template's dtypes, or unchanged (host) with ``cast=False`` so the caller
     can choose the device placement/dtype (e.g. bf16 eval casting without a
-    transient fp32 copy). Raises ValueError with the offending path."""
+    transient fp32 copy). Raises ValueError with the offending path.
+    ``what`` names the tree in error messages (also used for diffusion-member
+    checkpoints, cli/runner.py init_members)."""
     flat_t = dict(jax.tree_util.tree_flatten_with_path(template)[0])
     flat_g = dict(jax.tree_util.tree_flatten_with_path(gvars)[0])
     t_keys, g_keys = set(flat_t), set(flat_g)
@@ -103,8 +106,8 @@ def validate_guidance_tree(gvars: Any, template: Any, cast: bool = True) -> Any:
         missing = sorted(jax.tree_util.keystr(k) for k in t_keys - g_keys)
         extra = sorted(jax.tree_util.keystr(k) for k in g_keys - t_keys)
         raise ValueError(
-            f"assembled guidance does not match the model: missing={missing[:5]} "
-            f"extra={extra[:5]} (stage-1 checkpoints trained at different "
+            f"{what} does not match the model: missing={missing[:5]} "
+            f"extra={extra[:5]} (checkpoint trained at different "
             "dimensions than this config?)"
         )
     for k in t_keys:
