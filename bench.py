@@ -1,19 +1,34 @@
-"""Nested-ensemble inference benchmark (the reference's headline workload).
+"""Nested-ensemble benchmark battery (the reference's headline workloads).
 
-Workload = the reference's test-time hot loop
-(/root/reference/diffusion/classification_train_separately.py:767-777):
-a batch of 224x224x3 images through SEViT guidance (ViT-B/16 + 5 mapping
-MLPs) and then 5 ensemble members x 20 MC trials x 1000-step ancestral CARD
-reverse diffusion, full-size ConditionalModel (150528 -> 4096 encoder,
-4096-wide y-branch). Here the entire workload is one jitted program:
-scan(1000) over vmap(members x trials x batch), bf16 params/compute.
+Default (no args) runs the FULL battery and prints ONE self-contained JSON
+line — the parity workload as the headline plus every other headline metric
+under ``extra_metrics`` — so the driver-recorded BENCH_r*.json carries the
+complete, driver-verified claim set:
 
-Metric: ensemble inference images/sec (matches BASELINE.json).
+  1. ancestral-1000  — the reference's exact test-time loop
+     (/root/reference/diffusion/classification_train_separately.py:767-777):
+     batch 70 images -> SEViT guidance (ViT-B/16 + 5 mapping MLPs) -> 5
+     members x 20 MC trials x 1000-step ancestral CARD reverse diffusion,
+     full-size ConditionalModel (150528->4096 encoder). One jitted program:
+     scan(1000) over vmap(members x trials x batch), bf16.
+  2. ddim50-eta1     — the serving sampler (strided, stochastic).
+  3. ddim50-int8     — + int8 weights/activations on the two big eps matmuls.
+  4. train-step      — full-size member training step (antithetic t,
+     q_sample, eps fwd+bwd, clip, Adam, EMA), fp32 state.
 
-vs_baseline: the reference publishes no throughput numbers (BASELINE.md), so
-the baseline is an analytic HBM-BANDWIDTH FLOOR of the reference loop on its
-required hardware (A100-40GB, README.md:39) — a bound, not a guess at
-sustained FLOP/s:
+Focused single-config runs (old behavior, one plain JSON line):
+  --tiny (CPU smoke / driver contract), --ddim N, --int8, --pallas, --train.
+
+Timing methodology is recorded per metric ("timing" tag + both raw numbers):
+``sync_best_s`` = best synchronous per-call wall time; ``pipelined_s`` =
+back-to-back async dispatch amortized per batch (the serving pattern — it
+hides the per-dispatch host round trip that dominates short DDIM workloads).
+The headline value uses the better of the two and says which.
+
+INFERENCE vs_baseline: the reference publishes no throughput numbers
+(BASELINE.md), so the baseline is an analytic HBM-BANDWIDTH FLOOR of the
+reference loop on its required hardware (A100-40GB, README.md:39) — a bound,
+not a guess at sustained FLOP/s:
 
 * The loop runs 5 members x 20 trials x 1000 steps = 100,000 eps_theta
   forwards per 70-image batch, strictly sequentially
@@ -33,7 +48,23 @@ reference would land at ~0.2-0.4 img/s; we report value / 0.391 (the bound
 that most FAVORS the reference). The previous 12-TFLOP/s-based estimate
 (0.087 img/s) overstated the ratio ~4.5x and is retired.
 
-Usage: python bench.py [--tiny] [--cpu] [--ddim N] [--batch B] [--trials K]
+TRAINING vs_baseline: reported against a RANGE, because the reference's
+actual A100 step time is unmeasurable in this image (torch is CPU-only
+here). Lower bound of the range divisor = the analytic A100 HBM floor of
+the reference's train step: fwd 2.78 GB weights + bwd ~5.6 GB + Adam
+read/write m/v/params ~16.7 GB ~= 25 GB @ 1555 GB/s = 16 ms = 1875 img/s at
+batch 30 — unachievable in practice (ignores activations, the per-batch
+guidance ViT forward, eager-PyTorch kernel overhead, and the reference's
+per-param Python-loop EMA, ema.py:16-21). Upper bound divisor = 940 img/s,
+a 2x degradation ESTIMATE for those effects — plausible but asserted, not
+measured. ``vs_baseline`` uses the conservative 1875 floor;
+``vs_baseline_range`` reports [value/1875, value/940]. Either way the TPU
+number is per chip and scales over the mesh (dryrun_multichip) while the
+reference is single-GPU.
+
+Usage: python bench.py                 # full battery, one JSON line
+       python bench.py --tiny --cpu    # driver-contract smoke
+       python bench.py --ddim 50 --int8 --batch 70   # focused config
 """
 
 from __future__ import annotations
@@ -46,9 +77,12 @@ import time
 
 # analytic A100-40GB HBM-bandwidth floor of the reference loop; see docstring
 REFERENCE_BASELINE_IMG_PER_SEC = 0.391
+# training-baseline range divisors; see docstring
+TRAIN_BASELINE_FLOOR = 1875.0  # analytic A100 HBM floor (unachievable)
+TRAIN_BASELINE_ESTIMATE = 940.0  # 2x-degraded eager-PyTorch estimate
 
 
-def main():
+def parse_args():
     ap = argparse.ArgumentParser()
     ap.add_argument("--tiny", action="store_true", help="tiny shapes (smoke test)")
     ap.add_argument("--cpu", action="store_true", help="force CPU")
@@ -64,14 +98,18 @@ def main():
     ap.add_argument("--pallas", action="store_true",
                     help="use the fully-fused Pallas eps kernel in the scan body")
     ap.add_argument("--int8", action="store_true",
-                    help="EXPERIMENTAL: int8 weights+activations for the two big "
-                         "eps matmuls (2x MXU OPS on v5e)")
+                    help="int8 weights+activations for the two big eps "
+                         "matmuls (2x MXU OPS on v5e)")
     ap.add_argument("--unroll", type=int, default=1, help="reverse-scan unroll factor")
     ap.add_argument("--train", action="store_true",
-                    help="benchmark the diffusion-member training step instead "
-                         "(full-size ConditionalModel, fp32 Adam + EMA)")
-    args = ap.parse_args()
+                    help="benchmark the diffusion-member training step only")
+    ap.add_argument("--full", action="store_true",
+                    help="force the full battery even with --tiny/--cpu "
+                         "(contract tests use this)")
+    return ap.parse_args()
 
+
+def _setup_platform(args):
     import jax
 
     if args.cpu:
@@ -86,12 +124,9 @@ def main():
                 jax.config.update("jax_platforms", cur + ",cpu")
         except Exception:
             pass
-    import jax.numpy as jnp
 
-    from ladine_tpu.infer import nested_ensemble_sample, stack_members
-    from ladine_tpu.models import ConditionalModel, SEViTGuidance
-    from ladine_tpu.ops import DiffusionSchedule, ddim_timesteps
 
+def _dims(args):
     if args.tiny:
         img, patch, embed, heads, depth = 32, 8, 32, 4, args.members
         feat = hidden = 64
@@ -102,13 +137,47 @@ def main():
         img, patch, embed, heads, depth = 224, 16, 768, 12, 12
         feat = hidden = 4096
         mlp_dims = (4096, 2048, 128)
+    return img, patch, embed, heads, depth, feat, hidden, mlp_dims
 
+
+def _materialize(shapes, pdtype, scale=0.02):
+    """Throughput does not depend on parameter VALUES — build the exact
+    parameter structure via eval_shape (zero FLOPs, zero RNG) and fill with
+    deterministic small constants directly on the accelerator. (A real RNG
+    init of the ~7B fp32 values takes ~30 min of host threefry and 2x the
+    HBM; see git history.)"""
+    import jax
+    import jax.numpy as jnp
+
+    i = [0]
+
+    def fill(s):
+        i[0] += 1
+        # tiny deterministic values keep every activation finite
+        val = scale * ((i[0] % 7) - 3) / 3.0
+        return jnp.full(s.shape, val, pdtype if s.dtype == jnp.float32 else s.dtype)
+
+    return jax.tree.map(fill, shapes)
+
+
+def run_inference(args, ddim, eta, use_int8, use_pallas, label):
+    """One inference configuration; returns its self-describing record.
+    All device buffers are dropped before returning (the train bench needs
+    the HBM)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ladine_tpu.infer import nested_ensemble_sample
+    from ladine_tpu.models import ConditionalModel, SEViTGuidance
+    from ladine_tpu.ops import DiffusionSchedule, ddim_timesteps
+
+    img, patch, embed, heads_n, depth, feat, hidden, mlp_dims = _dims(args)
     dtype = jnp.bfloat16 if not args.cpu else None
     M, B, K, T = args.members, args.batch, args.trials, args.timesteps
 
     guidance = SEViTGuidance(
         num_classes=2, num_members=M, vit_depth=depth,
-        img_size=img, patch_size=patch, embed_dim=embed, num_heads=heads,
+        img_size=img, patch_size=patch, embed_dim=embed, num_heads=heads_n,
         mlp_hidden_dims=mlp_dims, dtype=dtype,
     )
     cond = ConditionalModel(
@@ -116,70 +185,50 @@ def main():
         y_dim=2, n_steps=T + 1, dtype=dtype,
     )
     sched = DiffusionSchedule.create("linear", T, 1e-4, 0.02)
-    tau = ddim_timesteps(T, args.ddim) if args.ddim else None
+    tau = ddim_timesteps(T, ddim) if ddim else None
 
-    if args.train:
-        return train_bench(args, img, feat, hidden, T, dtype)
-
-    print(f"[bench] init: M={M} B={B} K={K} T={T} img={img} feat={feat} "
-          f"sampler={'ddim%d' % args.ddim if args.ddim else 'ancestral'} "
+    print(f"[bench:{label}] M={M} B={B} K={K} T={T} img={img} feat={feat} "
+          f"sampler={'ddim%d' % ddim if ddim else 'ancestral'} int8={use_int8} "
           f"platform={jax.devices()[0].platform}", file=sys.stderr)
 
-    accel = jax.devices()[0]
     pdtype = jnp.bfloat16 if dtype is not None else jnp.float32
-
-    # Throughput does not depend on parameter VALUES — build the exact
-    # parameter structure via eval_shape (zero FLOPs, zero RNG) and fill with
-    # deterministic small constants directly on the accelerator in bf16.
-    # (A real RNG init of the ~7B fp32 values takes ~30 min of host threefry
-    # and 2x the HBM; see git history.)
     key = jax.random.PRNGKey(0)
     images = jax.random.uniform(key, (B, img, img, 3), jnp.float32)
     x_flat1 = jnp.zeros((1, img * img * 3), jnp.float32)
 
-    def materialize(shapes, scale=0.02):
-        i = [0]
-
-        def fill(s):
-            i[0] += 1
-            # tiny deterministic values keep every activation finite
-            val = scale * ((i[0] % 7) - 3) / 3.0
-            return jnp.full(s.shape, val, pdtype if s.dtype == jnp.float32 else s.dtype)
-
-        return jax.tree.map(fill, shapes)
-
     g_shapes = jax.eval_shape(lambda: guidance.init(jax.random.PRNGKey(1), images[:1]))
-    gvars = materialize(g_shapes)
+    gvars = _materialize(g_shapes, pdtype)
     m_shapes = jax.eval_shape(
         lambda: cond.init(jax.random.PRNGKey(2), x_flat1, jnp.zeros((1, 2)),
                           jnp.asarray(0), jnp.full((1, 2), 0.5))
     )
-    one_member = materialize(m_shapes)
+    one_member = _materialize(m_shapes, pdtype)
     # distinct members are irrelevant for throughput; broadcast-stack
     stacked = jax.tree.map(lambda x: jnp.broadcast_to(x, (M,) + x.shape), one_member)
     # BN running var must be positive
     stacked = dict(stacked)
     stacked["batch_stats"] = jax.tree.map(jnp.abs, stacked["batch_stats"])
     stacked["batch_stats"] = jax.tree.map(lambda x: x + 1.0, stacked["batch_stats"])
-    print(f"[bench] params materialized on {accel.platform} ({pdtype.__name__})",
-          file=sys.stderr)
 
     @jax.jit
     def infer(gvars, stacked, images, key):
-        heads = guidance.apply(gvars, images)
-        y0_hat = jax.nn.softmax(heads.astype(jnp.float32), axis=-1)[:M]
+        # only the M mapping heads are needed — heads_subset runs the ViT to
+        # block M and skips the full 12-block forward (the reference loads 6
+        # members but evaluates 5; same workload, less dead compute)
+        heads = guidance.apply(gvars, images, tuple(range(M)), method="heads_subset")
+        y0_hat = jax.nn.softmax(heads.astype(jnp.float32), axis=-1)
         xf = images.reshape(images.shape[0], -1)
         return nested_ensemble_sample(cond, stacked, xf, y0_hat, key, sched,
-                                      mc_trials=K, tau=tau, eta=args.eta,
-                                      use_pallas_eps=args.pallas,
-                                      use_int8_eps=args.int8,
+                                      mc_trials=K, tau=tau, eta=eta,
+                                      use_pallas_eps=use_pallas,
+                                      use_int8_eps=use_int8,
                                       unroll=args.unroll)
 
     # compile + warmup
     t0 = time.time()
     out = infer(gvars, stacked, images, jax.random.PRNGKey(2))
     out.block_until_ready()
-    print(f"[bench] compile+first run: {time.time() - t0:.1f}s, out {out.shape} "
+    print(f"[bench:{label}] compile+first run: {time.time() - t0:.1f}s, out {out.shape} "
           f"finite={bool(jnp.isfinite(out.astype(jnp.float32)).all())}", file=sys.stderr)
 
     times = []
@@ -188,7 +237,7 @@ def main():
         out = infer(gvars, stacked, images, jax.random.PRNGKey(3 + r))
         out.block_until_ready()
         times.append(time.time() - t0)
-        print(f"[bench] run {r}: {times[-1]:.3f}s", file=sys.stderr)
+        print(f"[bench:{label}] run {r}: {times[-1]:.3f}s", file=sys.stderr)
 
     # pipelined throughput: issue the batches back-to-back (distinct keys)
     # and block once — the serving pattern, and it removes the per-dispatch
@@ -201,22 +250,31 @@ def main():
             for r in range(reps)]
     jax.block_until_ready(outs)
     pipelined = (time.time() - t0) / reps
-    print(f"[bench] pipelined: {pipelined:.3f}s/batch over {reps} batches",
+    print(f"[bench:{label}] pipelined: {pipelined:.3f}s/batch over {reps} batches",
           file=sys.stderr)
 
-    best = min(times + [pipelined])
+    sync_best = min(times)
+    best = min(sync_best, pipelined)
     img_per_sec = B / best
-    result = {
+    record = {
         "metric": "ensemble_inference_images_per_sec",
         "value": round(img_per_sec, 3),
         "unit": f"images/sec ({M} members x {K} trials x "
-                f"{args.ddim if args.ddim else T}-step reverse, batch {B})",
+                f"{ddim if ddim else T}-step reverse, batch {B}"
+                + (", int8 eps" if use_int8 else "") + ")",
         "vs_baseline": round(img_per_sec / REFERENCE_BASELINE_IMG_PER_SEC, 1),
+        # self-describing timing methodology (ADVICE r2): which measurement
+        # produced the headline value, plus both raw numbers
+        "timing": "pipelined" if pipelined < sync_best else "sync",
+        "sync_best_s": round(sync_best, 4),
+        "pipelined_s": round(pipelined, 4),
     }
-    print(json.dumps(result))
+    # drop device buffers before the next section materializes its state
+    del gvars, stacked, one_member, out, outs, infer
+    return record
 
 
-def train_bench(args, img, feat, hidden, T, dtype):
+def train_bench(args):
     """Diffusion-member training throughput: one full-size member, the
     reference's per-step work (antithetic t, q_sample, eps forward+backward,
     clip, Adam, EMA) on a training batch. fp32 state (Adam numerics), bf16
@@ -228,13 +286,17 @@ def train_bench(args, img, feat, hidden, T, dtype):
     from ladine_tpu.ops import DiffusionSchedule
     from ladine_tpu.train import create_member_state, make_member_step, make_optimizer
 
+    img, _, _, _, _, feat, hidden, _ = _dims(args)
+    T = args.timesteps
+    dtype = jnp.bfloat16 if not args.cpu else None
     B = args.batch if not args.tiny else 8  # default 70; reference trains at 30
     cond = ConditionalModel(data_dim=img * img * 3, feature_dim=feat,
                             hidden_dim=hidden, y_dim=2, n_steps=T + 1, dtype=dtype)
     sched = DiffusionSchedule.create("linear", T, 1e-4, 0.02)
     tx = make_optimizer("Adam", 1e-3, grad_clip=1.0)
 
-    # structure via eval_shape, deterministic fill (see main bench)
+    # structure via eval_shape, deterministic fill (see _materialize; fp32
+    # state is kept fp32 — Adam numerics are part of the workload)
     shapes = jax.eval_shape(
         lambda: create_member_state(cond, jax.random.PRNGKey(0), tx, batch_size=1)
     )
@@ -260,7 +322,7 @@ def train_bench(args, img, feat, hidden, T, dtype):
     t0 = time.time()
     state, loss = step(state, x, y0, yhat, jax.random.PRNGKey(2))
     jax.block_until_ready(loss)
-    print(f"[bench] train compile+first step: {time.time() - t0:.1f}s loss {float(loss):.4f}",
+    print(f"[bench:train] compile+first step: {time.time() - t0:.1f}s loss {float(loss):.4f}",
           file=sys.stderr)
     times = []
     for r in range(args.repeats):
@@ -269,23 +331,54 @@ def train_bench(args, img, feat, hidden, T, dtype):
             state, loss = step(state, x, y0, yhat, jax.random.PRNGKey(3 + r))
         jax.block_until_ready(loss)
         times.append((time.time() - t0) / 10)
-        print(f"[bench] train run {r}: {times[-1] * 1e3:.1f} ms/step", file=sys.stderr)
+        print(f"[bench:train] run {r}: {times[-1] * 1e3:.1f} ms/step", file=sys.stderr)
     best = min(times)
-    # Training vs_baseline is vs a REALISTIC estimate of the reference's A100
-    # train step, derived the same way as the inference baseline: the step is
-    # HBM-bound (fwd 2.78 GB weights + bwd ~5.6 GB + Adam read/write m/v/
-    # params ~16.7 GB ~= 25 GB @ 1555 GB/s = 16 ms floor = 1875 img/s at
-    # batch 30), degraded 2x for PyTorch-eager unfused Adam + the per-param
-    # Python-loop EMA (reference ema.py:16-21) + per-batch guidance forward
-    # -> ~940 img/s. A single v5e has 53% of an A100's HBM bandwidth, so
-    # per-chip parity here is the expected outcome; training scales over the
-    # TPU mesh (dryrun_multichip) while the reference is single-GPU.
-    print(json.dumps({
+    value = B / best
+    record = {
         "metric": "diffusion_member_train_images_per_sec",
-        "value": round(B / best, 1),
+        "value": round(value, 1),
         "unit": f"images/sec (batch {B}, full-size member, fp32 Adam+EMA)",
-        "vs_baseline": round((B / best) / 940.0, 2),
-    }))
+        # conservative: against the unachievable analytic A100 floor; the
+        # range's upper end divides by the 2x-degraded eager estimate (see
+        # module docstring — the 2x is asserted, not measured)
+        "vs_baseline": round(value / TRAIN_BASELINE_FLOOR, 2),
+        "vs_baseline_range": [round(value / TRAIN_BASELINE_FLOOR, 2),
+                              round(value / TRAIN_BASELINE_ESTIMATE, 2)],
+        "timing": "sync",
+        "sync_best_s": round(best, 4),
+    }
+    del state, step
+    return record
+
+
+def main():
+    args = parse_args()
+    _setup_platform(args)
+
+    focused = (args.tiny or args.train or args.ddim or args.int8 or args.pallas) and not args.full
+    if args.train and not args.full:
+        print(json.dumps(train_bench(args)))
+        return
+    if focused:
+        print(json.dumps(run_inference(args, args.ddim, args.eta, args.int8,
+                                       args.pallas, "focused")))
+        return
+
+    # full battery: every headline metric in one driver-verified record
+    ancestral = run_inference(args, 0, args.eta, False, False, "ancestral")
+    ddim50 = run_inference(args, 50, 1.0, False, False, "ddim50")
+    int8 = run_inference(args, 50, 1.0, True, False, "ddim50-int8")
+    train = train_bench(args)
+    for rec, name in ((ddim50, "serving_ddim50_eta1"),
+                      (int8, "serving_ddim50_int8"),
+                      (train, "train_step")):
+        rec["name"] = name
+    result = {
+        **ancestral,
+        "name": "ancestral_1000_parity_workload",
+        "extra_metrics": [ddim50, int8, train],
+    }
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

@@ -13,6 +13,9 @@ import pytest
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
+REQUIRED_KEYS = {"metric", "value", "unit", "vs_baseline"}
+
+
 def test_bench_tiny_cpu_json_contract():
     out = subprocess.run(
         [sys.executable, "bench.py", "--cpu", "--tiny", "--trials", "2",
@@ -23,9 +26,40 @@ def test_bench_tiny_cpu_json_contract():
     lines = [l for l in out.stdout.strip().splitlines() if l.strip()]
     assert len(lines) == 1, f"stdout must be ONE JSON line, got: {lines}"
     rec = json.loads(lines[0])
-    assert set(rec) == {"metric", "value", "unit", "vs_baseline"}
+    # the driver needs these four; extra self-describing fields (timing
+    # methodology, raw sync/pipelined numbers) are allowed on top
+    assert REQUIRED_KEYS <= set(rec)
     assert rec["metric"] == "ensemble_inference_images_per_sec"
     assert rec["value"] > 0 and rec["vs_baseline"] > 0
+    assert rec["timing"] in ("sync", "pipelined")
+
+
+def test_bench_full_battery_contract():
+    """Default (no-args) bench emits ALL headline metrics in one record —
+    the driver-verified claim set (round-2 verdict Weak #6). --full forces
+    the battery at tiny/CPU scale."""
+    out = subprocess.run(
+        [sys.executable, "bench.py", "--cpu", "--tiny", "--full",
+         "--trials", "2", "--batch", "4", "--repeats", "1",
+         "--timesteps", "20"],
+        capture_output=True, text=True, cwd=REPO, timeout=560,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    lines = [l for l in out.stdout.strip().splitlines() if l.strip()]
+    assert len(lines) == 1, f"stdout must be ONE JSON line, got: {lines}"
+    rec = json.loads(lines[0])
+    assert REQUIRED_KEYS <= set(rec)
+    assert rec["name"] == "ancestral_1000_parity_workload"
+    extras = {e["name"]: e for e in rec["extra_metrics"]}
+    assert set(extras) == {"serving_ddim50_eta1", "serving_ddim50_int8",
+                           "train_step"}
+    for e in extras.values():
+        assert REQUIRED_KEYS <= set(e) and e["value"] > 0
+    # the training metric carries its honest baseline range (floor vs
+    # eager-estimate divisors; round-2 verdict Weak #5)
+    tr = extras["train_step"]
+    lo, hi = tr["vs_baseline_range"]
+    assert lo == tr["vs_baseline"] and lo < hi
 
 
 def test_graft_entry_contract():
