@@ -123,20 +123,25 @@ def make_eval_pipeline(
                 lambda x: guidance.apply(gvars, x, method="vit_logits"),
             )
             images, _ = attack(images, labels, k_attack)
-        heads = guidance.apply(gvars, images)  # (M+1, B, C)
-        y0_hat = jax.nn.softmax(heads.astype(jnp.float32), axis=-1)
-        vars_run = stacked_vars
+        # the needed guidance heads are STATIC — heads_subset runs the
+        # transformer only to the deepest needed tap and skips the full-ViT
+        # head unless selected (the reference loads 6 members, evaluates 5;
+        # the 12-block full forward is pure fixed cost otherwise)
         if cfg.selected_members is not None:
-            idx = jnp.asarray(cfg.selected_members)
-            y0_hat = y0_hat[idx]
-            # slice the member axis of the stacked variables to match
-            vars_run = jax.tree.map(lambda x: x[idx], stacked_vars)
+            needed = tuple(cfg.selected_members)
         elif cfg.head_indices is not None:
             # partial ensemble: stacked members as-is, each conditioned on
             # the head it was trained against
-            y0_hat = y0_hat[jnp.asarray(cfg.head_indices)]
+            needed = tuple(cfg.head_indices)
         else:
-            y0_hat = y0_hat[:num_members]
+            needed = tuple(range(num_members))
+        heads = guidance.apply(gvars, images, needed, method="heads_subset")
+        y0_hat = jax.nn.softmax(heads.astype(jnp.float32), axis=-1)
+        vars_run = stacked_vars
+        if cfg.selected_members is not None:
+            # slice the member axis of the stacked variables to match
+            idx = jnp.asarray(cfg.selected_members)
+            vars_run = jax.tree.map(lambda x: x[idx], stacked_vars)
         x_flat = images.reshape(images.shape[0], -1)
         return nested_ensemble_sample(
             model, vars_run, x_flat, y0_hat, k_sample, sched,

@@ -62,10 +62,16 @@ class Predictor:
             else None
         )
         n_stacked = jax.tree.leaves(self.stacked_vars)[0].shape[0]
-        idx = jnp.asarray(
-            self.head_indices if self.head_indices is not None else range(n_stacked)
+        # STATIC head list: heads_subset then runs the guidance transformer
+        # only to the deepest needed tap and skips the full-ViT forward
+        # entirely for mapping-only ensembles (the serving fixed-cost lever,
+        # docs/ROADMAP.md "Serving fixed-cost")
+        idx = tuple(
+            int(i) for i in (
+                self.head_indices if self.head_indices is not None else range(n_stacked)
+            )
         )
-        if idx.shape[0] != n_stacked:
+        if len(idx) != n_stacked:
             raise ValueError(
                 f"head_indices {self.head_indices} must match the {n_stacked} stacked members"
             )
@@ -82,8 +88,8 @@ class Predictor:
 
         @jax.jit
         def _run(gvars, stacked, images, key):
-            heads = self.guidance.apply(gvars, images)
-            y0_hat = jax.nn.softmax(heads.astype(jnp.float32), axis=-1)[idx]
+            heads = self.guidance.apply(gvars, images, idx, method="heads_subset")
+            y0_hat = jax.nn.softmax(heads.astype(jnp.float32), axis=-1)
             x_flat = images.reshape(images.shape[0], -1)
             samples = nested_ensemble_sample(
                 self.model, stacked, x_flat, y0_hat, key, self.sched,

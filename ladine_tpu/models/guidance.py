@@ -91,3 +91,36 @@ class SEViTGuidance(nn.Module):
         depths = tuple(range(1, self.num_members + 1))
         taps = self.vit.tap_features(x, depths)
         return self._mlp_heads(taps)
+
+    def heads_subset(self, x: jnp.ndarray, indices) -> jnp.ndarray:
+        """Only the requested guidance heads: (len(indices), B, C), in the
+        given order. ``indices`` is a STATIC tuple of head ids (0..K-1 =
+        mapping heads, K = full-ViT head).
+
+        This is the serving/eval hot path: the reference loads 6 members but
+        only evaluates the 5 mapping-conditioned ones
+        (classification_train_separately.py:275, 767-769), so inference
+        never needs the full 12-block ViT forward — computing all K+1 heads
+        and discarding the last wastes 12 of 17 block evaluations. Here the
+        transformer runs only to the DEEPEST requested tap (e.g. 5 blocks
+        for the standard 5-member ensemble, or 3 for a single --mlp_idx 2
+        member) and only the requested MLPs run. Identical outputs to
+        ``__call__(x)[indices]`` (tests/test_models.py)."""
+        indices = tuple(int(i) for i in indices)
+        k_full = self.num_members
+        for i in indices:
+            if not 0 <= i <= k_full:
+                raise ValueError(
+                    f"head index {i} out of range 0..{k_full} "
+                    f"({self.num_members} mapping heads + the full-ViT head)"
+                )
+        mlp_ids = sorted({i for i in indices if i < k_full})
+        outs = {}
+        if mlp_ids:
+            depths = tuple(i + 1 for i in mlp_ids)
+            taps = self.vit.tap_features(x, depths)  # increasing-depth order
+            for i, tap in zip(mlp_ids, taps):
+                outs[i] = self.mlps[i](tap)
+        if k_full in indices:
+            outs[k_full] = self.vit(x)
+        return jnp.stack([outs[i] for i in indices], axis=0)

@@ -179,3 +179,25 @@ def test_torch_linear_init_distribution():
     assert np.abs(b).max() <= bound + 1e-6
     # roughly uniform: std of U(-a,a) is a/sqrt(3)
     assert np.std(k) == pytest.approx(bound / np.sqrt(3), rel=0.1)
+
+
+def test_guidance_heads_subset_matches_full():
+    """heads_subset(x, idx) == __call__(x)[idx] for every interesting static
+    head set — including skipping the full-ViT head (the serving hot path)
+    and a single mid-depth member (--mlp_idx artifacts)."""
+    g = SEViTGuidance(
+        num_classes=2, num_members=3, vit_depth=4,
+        img_size=32, patch_size=8, embed_dim=32, num_heads=4,
+        mlp_hidden_dims=(32, 16, 8),
+    )
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 32, 32, 3))
+    v = g.init(jax.random.PRNGKey(1), x)
+    full = np.asarray(g.apply(v, x))  # (4, B, C)
+    for idx in [(0, 1, 2), (1,), (2, 0), (3,), (0, 3), (0, 1, 2, 3)]:
+        sub = np.asarray(g.apply(v, x, idx, method="heads_subset"))
+        np.testing.assert_allclose(
+            sub, full[list(idx)], rtol=2e-5, atol=1e-5,
+            err_msg=f"heads_subset mismatch for idx={idx}",
+        )
+    with pytest.raises(ValueError):
+        g.apply(v, x, (4,), method="heads_subset")
