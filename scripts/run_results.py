@@ -62,6 +62,160 @@ def last_json(log_path):
     return out
 
 
+def suite_dict(fast: bool) -> dict:
+    """The named eval battery (EvalConfig overrides per row). DDIM-50 eta=1
+    is the serving sampler; 'full' is the 1000-step parity workload. The six
+    corruptions follow the reference's fixed order coverage
+    (classification_train_separately.py:726-739)."""
+    d50 = {"ddim_steps": 50, "ddim_eta": 1.0}
+    suite = {
+        "full": {},  # the PARITY workload: full 1000-step ancestral chain
+        "d50": d50,  # the serving sampler
+        "noise": {**d50, "noise_std": 0.1},
+        "noise_hard": {**d50, "noise_std": 0.2},
+        "contrast": {**d50, "contrast": 0.6},
+        "lowres": {**d50, "low_resolution": 2},
+        # occlusion + crop complete the reference's six-corruption order
+        "cover": {**d50, "cover": [0.05, 4]},
+        "crop": {**d50, "crop": 0.1},
+        "atk_fgsm": {**d50, "attack_name": "FGSM", "attack_eps": 0.03},
+        "atk_pgd": {**d50, "attack_name": "PGD", "attack_eps": 0.03},
+        "int8": {**d50, "use_int8": True},
+    }
+    if fast:
+        suite = {k: suite[k] for k in ("full", "d50", "noise", "atk_fgsm")}
+    return suite
+
+
+CORRUPTION_ROWS = ("noise", "noise_hard", "contrast", "lowres", "cover", "crop")
+
+
+def md_row(name, r):
+    if r is None:
+        return f"| {name} | — | — | — | — | — |"
+    return (f"| {name} | {r['mean_confidence_accuracy']:.2f} | "
+            f"{r['majority_vote_accuracy']:.2f} | {r['ece']:.4f} | "
+            f"{r['nll']:.4f} | {r['brier']:.4f}  |")
+
+
+def run_real(args):
+    """One-command parity-evaluation flow for REAL reference artifacts +
+    data: convert the reference's .pth tree (cli.convert), calibrate, run
+    the full robust suite, write RESULTS_REAL.md. The moment real
+    ChestXRay/ISIC data and reference weights exist, parity tables are:
+
+        python scripts/run_results.py --real \\
+            --pretrained_dir <task>_ckpt --dataroot <ImageFolder root> \\
+            [--diffusion_pths diffu*.pth ...] [--dataset ChestXRay] \\
+            [--config configs/chest_x_ray.yml] --work <dir>
+
+    Reference artifact tree: classification_train_separately.py:249-315
+    (ViT + MLPs pickles), :684-691 (diffu{k} checkpoint list)."""
+    w = args.work
+    os.makedirs(w, exist_ok=True)
+    env = dict(os.environ)
+    if not args.cpu:
+        env["JAX_COMPILATION_CACHE_DIR"] = os.path.join(w, "jaxcache")
+    py = [sys.executable]
+    cpu = ["--cpu"] if args.cpu else []
+    log = os.path.join(w, "driver.log")
+    cfg = args.config or os.path.join(
+        REPO, "configs",
+        "chest_x_ray.yml" if args.dataset == "ChestXRay" else "isic_skin_cancer.yml",
+    )
+    diffu = args.diffusion_pths or sorted(
+        glob.glob(os.path.join(args.pretrained_dir, "diffu*_ckpt_best*.pth"))
+    )
+    if not diffu:
+        raise SystemExit(
+            f"no diffu*_ckpt_best*.pth under {args.pretrained_dir}; pass them "
+            "explicitly with --diffusion_pths"
+        )
+
+    # ---- convert the reference artifacts --------------------------------
+    conv = os.path.join(w, "converted")
+    guidance = os.path.join(conv, f"guidance_{args.dataset}")
+    members = None
+    conv_log = os.path.join(w, "convert.log")
+    if not os.path.isdir(guidance):
+        sh(py + ["-m", "ladine_tpu.cli.convert", *cpu,
+                 "--pretrained_dir", args.pretrained_dir,
+                 "--dataset", args.dataset, "--config", cfg,
+                 "--diffusion_ckpt", *diffu, "--out", conv], conv_log, env)
+    members = [os.path.join(conv, f"member_{k}") for k in range(len(diffu))]
+    for m in members:
+        if not os.path.isdir(m):
+            raise SystemExit(f"conversion incomplete: {m} missing (see {conv_log})")
+
+    exp = os.path.join(w, "exp")
+    common = ["--config", cfg, "--dataroot", args.dataroot, "--exp", exp,
+              "--guidance_ckpt", guidance, "--diffusion_ckpt", *members]
+
+    def eval_step(doc, extra):
+        rdir = os.path.join(exp, "logs", doc, "report.json")
+        if not os.path.exists(rdir):
+            sh(py + ["-m", "ladine_tpu.cli.main", *cpu, *extra, *common,
+                     "--doc", doc], log, env)
+        return json.load(open(rdir))
+
+    # ---- calibration (cached-sample Nelder-Mead on the val split) -------
+    calib = eval_step("calib", ["--calib", "--ddim", "50", "--eta", "1.0"])
+    temp = calib["calibrated_temperature"]
+
+    # ---- the robust-eval battery in ONE process -------------------------
+    suite = suite_dict(args.fast)
+    suite_path = os.path.join(w, "suite.json")
+    with open(suite_path, "w") as f:
+        json.dump(suite, f)
+    sdir = os.path.join(exp, "logs", "suite")
+    missing = [n for n in suite
+               if not os.path.exists(os.path.join(sdir, f"report_{n}.json"))]
+    if missing:
+        sh(py + ["-m", "ladine_tpu.cli.main", *cpu, "--test",
+                 "--suite", suite_path, "--temperature", str(temp),
+                 *common, "--doc", "suite"], log, env)
+
+    def row_report(name):
+        p = os.path.join(sdir, f"report_{name}.json")
+        return json.load(open(p)) if os.path.exists(p) else None
+
+    import jax
+
+    platform = "cpu" if args.cpu else jax.devices()[0].platform
+    lines = [
+        f"# RESULTS_REAL — reference weights + real data ({args.dataset})",
+        "",
+        f"Artifacts: `{args.pretrained_dir}` ({len(diffu)} diffusion members,",
+        f"converted via `cli.convert`), data root `{args.dataroot}`,",
+        f"hardware `{platform}`. Calibrated temperature (cached-sample",
+        f"Nelder-Mead on the validation split): **{temp:.4f}** "
+        f"(val ECE {calib['ece']:.4f}).",
+        "",
+        "| evaluation | acc % | mv-acc % | ECE | NLL | Brier |",
+        "|---|---|---|---|---|---|",
+        md_row("clean, full 1000-step chain (parity workload)", row_report("full")),
+        md_row("clean, DDIM-50 eta=1 (serving sampler)", row_report("d50")),
+    ]
+    if (r := row_report("int8")) is not None:
+        lines.append(md_row("clean, DDIM-50, int8 eps matmuls (--int8)", r))
+    for name in CORRUPTION_ROWS:
+        if (r := row_report(name)) is not None:
+            lines.append(md_row(f"corruption: {name}", r))
+    for name, label in (("atk_fgsm", "FGSM"), ("atk_pgd", "PGD")):
+        if (r := row_report(name)) is not None:
+            lines.append(md_row(f"attack: {label} (eps 0.03, white-box ViT)", r))
+    lines += [
+        "",
+        "Compare these rows against the reference's `test_atk` logs for the",
+        "same checkpoints/dataset (classification_train_separately.py:631-840)",
+        "to verify behavioral parity at equal accuracy/ECE.",
+    ]
+    out = os.path.join(w, "RESULTS_REAL.md")
+    with open(out, "w") as f:
+        f.write("\n".join(lines) + "\n")
+    print(f"wrote {out}")
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--work", type=str, default="/tmp/results_run")
@@ -70,7 +224,27 @@ def main():
     ap.add_argument("--tiny", action="store_true",
                     help="tiny model dims (configs/synthetic_tiny.yml) — CPU smoke")
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--real", action="store_true",
+                    help="evaluate REAL reference artifacts on REAL data "
+                         "instead of the synthetic pipeline (see run_real)")
+    ap.add_argument("--pretrained_dir", type=str, default=None,
+                    help="with --real: the reference pretrained/{task}_ckpt "
+                         "tree (ViT pickle + MLPs/ + diffu*.pth)")
+    ap.add_argument("--dataroot", type=str, default=None,
+                    help="with --real: ImageFolder root (training/validation/"
+                         "testing)")
+    ap.add_argument("--dataset", type=str, default="ChestXRay")
+    ap.add_argument("--config", type=str, default=None,
+                    help="with --real: YAML config pinning model dims "
+                         "(default by --dataset)")
+    ap.add_argument("--diffusion_pths", type=str, nargs="*", default=None,
+                    help="with --real: explicit reference diffu*.pth files "
+                         "in member order")
     args = ap.parse_args()
+    if args.real:
+        if not (args.pretrained_dir and args.dataroot):
+            raise SystemExit("--real needs --pretrained_dir and --dataroot")
+        return run_real(args)
     if args.tiny:
         args.fast = True
 
@@ -205,24 +379,7 @@ def main():
     # ---- the eval battery: ONE process (--suite), one ckpt/guidance load.
     # Per-process loading is minutes at full dims; per-row reports land
     # incrementally so a killed run keeps its completed rows.
-    d50 = {"ddim_steps": 50, "ddim_eta": 1.0}
-    suite = {
-        "full": {},  # the PARITY workload: full 1000-step ancestral chain
-        "d50": d50,  # the serving sampler
-        "noise": {**d50, "noise_std": 0.1},
-        "noise_hard": {**d50, "noise_std": 0.2},
-        "contrast": {**d50, "contrast": 0.6},
-        "lowres": {**d50, "low_resolution": 2},
-        # occlusion + crop complete the reference's six-corruption order
-        # (classification_train_separately.py:726-739)
-        "cover": {**d50, "cover": [0.05, 4]},
-        "crop": {**d50, "crop": 0.1},
-        "atk_fgsm": {**d50, "attack_name": "FGSM", "attack_eps": 0.03},
-        "atk_pgd": {**d50, "attack_name": "PGD", "attack_eps": 0.03},
-        "int8": {**d50, "use_int8": True},
-    }
-    if args.fast:
-        suite = {k: suite[k] for k in ("full", "d50", "noise", "atk_fgsm")}
+    suite = suite_dict(args.fast)
     suite_path = os.path.join(w, "suite.json")
     with open(suite_path, "w") as f:
         json.dump(suite, f)
@@ -241,9 +398,7 @@ def main():
     clean_full = row_report("full")
     clean_d50 = row_report("d50")
     clean_int8 = row_report("int8")
-    corr = {n: r for n in ("noise", "noise_hard", "contrast", "lowres",
-                           "cover", "crop")
-            if (r := row_report(n)) is not None}
+    corr = {n: r for n in CORRUPTION_ROWS if (r := row_report(n)) is not None}
     atk = {n.split("_")[1].upper(): r for n in ("atk_fgsm", "atk_pgd")
            if (r := row_report(n)) is not None}
 
@@ -256,13 +411,6 @@ def main():
         clean_ema = None
 
     # ---- RESULTS.md -------------------------------------------------------
-    def row(name, r):
-        if r is None:
-            return f"| {name} | — | — | — | — | — |"
-        return (f"| {name} | {r['mean_confidence_accuracy']:.2f} | "
-                f"{r['majority_vote_accuracy']:.2f} | {r['ece']:.4f} | "
-                f"{r['nll']:.4f} | {r['brier']:.4f} |")
-
     import jax
 
     platform = "cpu" if args.cpu else jax.devices()[0].platform
@@ -300,16 +448,16 @@ def main():
         "",
         "| evaluation | acc % | mv-acc % | ECE | NLL | Brier |",
         "|---|---|---|---|---|---|",
-        row("clean, full 1000-step chain (parity workload)", clean_full),
-        row("clean, DDIM-50 eta=1 (serving sampler)", clean_d50),
-        row("clean, DDIM-50, EMA weights (--eval_ema)", clean_ema),
+        md_row("clean, full 1000-step chain (parity workload)", clean_full),
+        md_row("clean, DDIM-50 eta=1 (serving sampler)", clean_d50),
+        md_row("clean, DDIM-50, EMA weights (--eval_ema)", clean_ema),
     ]
     if clean_int8 is not None:
-        lines.append(row("clean, DDIM-50, int8 eps matmuls (--int8)", clean_int8))
+        lines.append(md_row("clean, DDIM-50, int8 eps matmuls (--int8)", clean_int8))
     for name, r in corr.items():
-        lines.append(row(f"corruption: {name}", r))
+        lines.append(md_row(f"corruption: {name}", r))
     for name, r in atk.items():
-        lines.append(row(f"attack: {name} (eps 0.03, white-box ViT)", r))
+        lines.append(md_row(f"attack: {name} (eps 0.03, white-box ViT)", r))
     lines += [
         "",
         "Step timings (s): " + json.dumps({k: round(v) for k, v in timings.items()}),

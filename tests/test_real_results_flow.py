@@ -1,0 +1,126 @@
+"""End-to-end drive of the one-command real-data parity flow
+(`scripts/run_results.py --real`): reference-layout torch artifacts are
+constructed in-test at tiny dims (as tests/test_convert_cli.py does), a tiny
+ImageFolder stands in for the real dataset, and the script runs as a real
+subprocess — convert -> calibrate -> robust suite -> RESULTS_REAL.md. The
+moment real ChestXRay/ISIC data + reference weights exist, the same command
+produces the parity tables (round-2 verdict Next #8)."""
+
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+import yaml
+
+torch = pytest.importorskip("torch")
+
+from tests.test_encoders_convert import (  # noqa: E402
+    _torch_conditional_model,
+    _torch_mapping_mlp,
+    _torch_vit,
+)
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+DIMS = dict(img=16, patch=8, embed=16, heads=2, depth=5)
+
+
+@pytest.fixture(scope="module")
+def pretrained_dir(tmp_path_factory):
+    """Reference pretrained/{task}_ckpt tree with diffu ckpts alongside."""
+    pre = tmp_path_factory.mktemp("real_ref") / "chest_x_ray_ckpt"
+    (pre / "MLPs").mkdir(parents=True)
+    vit = _torch_vit(depth=DIMS["depth"], embed=DIMS["embed"], heads=DIMS["heads"],
+                     img=DIMS["img"], patch=DIMS["patch"]).eval()
+    torch.save(vit.state_dict(), pre / "vit_base_patch16_224_ChestXRay.pth")
+    for k in range(5):
+        mlp = _torch_mapping_mlp(
+            in_features=(DIMS["img"] // DIMS["patch"]) ** 2 * DIMS["embed"])
+        torch.save(mlp.state_dict(), pre / "MLPs" / f"block_{k}.pth")
+    for k in range(5):
+        cm = _torch_conditional_model(data_dim=DIMS["img"] ** 2 * 3, hidden=16,
+                                      feat=16, y_dim=2, n_steps=11)
+        torch.save({"noise_estimator": cm.state_dict(), "optimizer": {}, "epoch": 9},
+                   pre / f"diffu{k}_ckpt_best_eph9_acc80.0.pth")
+    return str(pre)
+
+
+@pytest.fixture(scope="module")
+def dataroot(tmp_path_factory):
+    from PIL import Image
+
+    root = tmp_path_factory.mktemp("real_ds")
+    rng = np.random.default_rng(0)
+    for split, n in (("training", 6), ("validation", 4), ("testing", 4)):
+        for cls_idx, cls in enumerate(["NORMAL", "TUBERCULOSIS"]):
+            d = root / split / cls
+            d.mkdir(parents=True)
+            for i in range(n):
+                arr = rng.integers(0, 40, size=(16, 16, 3)) + cls_idx * 140
+                Image.fromarray(arr.astype(np.uint8)).save(d / f"i{i}.png")
+    return str(root)
+
+
+@pytest.fixture(scope="module")
+def tiny_config(tmp_path_factory):
+    cfg = {
+        "data": {"dataset": "ChestXRay", "num_classes": 2,
+                 "preprocess": "grayscaled"},
+        "model": {"image_size": 16, "patch_size": 8, "embed_dim": 16,
+                  "vit_depth": 5, "num_heads": 2, "mlp_hidden_dims": [16, 8, 4],
+                  "feature_dim": 16, "hidden_dim": 16, "data_dim": 16 * 16 * 3},
+        "diffusion": {"timesteps": 10, "num_members": 5},
+        "testing": {"batch_size": 4, "mc_trials": 2, "drop_last": False},
+        "sampling": {"batch_size": 4},
+    }
+    p = tmp_path_factory.mktemp("rcfg") / "tiny.yml"
+    p.write_text(yaml.safe_dump(cfg))
+    return str(p)
+
+
+def test_real_flow_end_to_end(pretrained_dir, dataroot, tiny_config, tmp_path):
+    work = str(tmp_path / "work")
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "scripts", "run_results.py"),
+         "--real", "--cpu", "--fast", "--work", work,
+         "--pretrained_dir", pretrained_dir, "--dataroot", dataroot,
+         "--dataset", "ChestXRay", "--config", tiny_config],
+        capture_output=True, text=True, cwd=REPO, timeout=900,
+        env={**os.environ, "JAX_PLATFORMS": "cpu"},
+    )
+    assert out.returncode == 0, (out.stderr[-3000:], out.stdout[-500:])
+
+    # conversion landed
+    assert os.path.isdir(os.path.join(work, "converted", "guidance_ChestXRay"))
+    for k in range(5):
+        assert os.path.isdir(os.path.join(work, "converted", f"member_{k}"))
+
+    # calibration + per-row reports landed
+    calib = json.load(open(os.path.join(work, "exp", "logs", "calib", "report.json")))
+    assert calib["calibrated_temperature"] > 0
+    sdir = os.path.join(work, "exp", "logs", "suite")
+    for row in ("full", "d50", "noise", "atk_fgsm"):  # the --fast battery
+        rep = json.load(open(os.path.join(sdir, f"report_{row}.json")))
+        assert rep["num_samples"] == 10  # 5 members x 2 trials
+        assert 0 <= rep["ece"] <= 1
+
+    # the report file is the deliverable
+    md = open(os.path.join(work, "RESULTS_REAL.md")).read()
+    assert "RESULTS_REAL" in md and "parity workload" in md
+    assert f"{calib['calibrated_temperature']:.4f}" in md
+
+    # resumability: a second invocation reuses everything (no retraining
+    # possible here, but conversion/eval must be skipped, not redone)
+    out2 = subprocess.run(
+        [sys.executable, os.path.join(REPO, "scripts", "run_results.py"),
+         "--real", "--cpu", "--fast", "--work", work,
+         "--pretrained_dir", pretrained_dir, "--dataroot", dataroot,
+         "--dataset", "ChestXRay", "--config", tiny_config],
+        capture_output=True, text=True, cwd=REPO, timeout=300,
+        env={**os.environ, "JAX_PLATFORMS": "cpu"},
+    )
+    assert out2.returncode == 0, out2.stderr[-2000:]
+    # no subprocess steps re-ran: the only [run] lines would be convert/eval
+    assert "[run]" not in out2.stderr
