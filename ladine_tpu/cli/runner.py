@@ -19,7 +19,14 @@ import jax.numpy as jnp
 import numpy as np
 
 from ladine_tpu.config import Config
-from ladine_tpu.data import CALIBRATED_TEMPERATURE, base_dataset, load_attack_split, load_split
+from ladine_tpu.data import (
+    CALIBRATED_TEMPERATURE,
+    MNIST_FAMILY,
+    base_dataset,
+    load_attack_split,
+    load_mnist_family,
+    load_split,
+)
 from ladine_tpu.infer import (
     EvalConfig,
     compute_report,
@@ -130,6 +137,17 @@ class Runner:
             if "Atk" in name:
                 attack = name.split("Atk")[1]
                 ds = load_attack_split(c.data.dataroot, attack, (self.img, self.img))
+            elif name in MNIST_FAMILY:
+                # download-served corpora read from local artifact files
+                # (zero-egress ingestion; data/downloads.py)
+                # PathMNIST supports grayscaled|none (dataset.py:172-210);
+                # any non-grayscale request maps to 'none' (RGB as-is)
+                pre = "grayscaled" if c.data.preprocess == "grayscaled" else "none"
+                ds = load_mnist_family(
+                    name, c.data.dataroot, split,
+                    preprocess=pre if name == "PathMNIST" else "grayscaled",
+                    image_size=(self.img, self.img),
+                )
             else:
                 ds = load_split(
                     c.data.dataroot, name, split,

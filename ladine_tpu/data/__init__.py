@@ -12,6 +12,13 @@ from ladine_tpu.data.imagefolder import (
     load_attack_split,
     load_split,
 )
+from ladine_tpu.data.downloads import (
+    MNIST_FAMILY,
+    load_idx_split,
+    load_mnist_family,
+    load_pathmnist_split,
+    read_idx,
+)
 from ladine_tpu.data.synthetic import Gaussians, GaussianMixture1D, add_gaussian_noise
 from ladine_tpu.data.arrays import (
     ArrayDataset,

@@ -61,7 +61,8 @@ class ArrayDataset:
         drop_last: bool = False,
         seed: int = 0,
         prefetch: int = 0,  # in-memory: prefetch is a no-op
-    ) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
+        with_indices: bool = False,  # ImageFolderDataset API parity
+    ) -> Iterator[Tuple[np.ndarray, ...]]:
         n = len(self)
         rng = np.random.default_rng(seed)
         order = np.arange(n)
@@ -71,7 +72,8 @@ class ArrayDataset:
             order = order[: (n // batch_size) * batch_size]
         for i in range(0, len(order), batch_size):
             idx = order[i : i + batch_size]
-            yield self.load_indices(idx, rng), self.labels[idx]
+            out = (self.load_indices(idx, rng), self.labels[idx])
+            yield out + (idx,) if with_indices else out
 
 
 # ------------------------- reference MNIST-family transforms (utils.py C9)
