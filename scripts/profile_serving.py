@@ -120,18 +120,29 @@ def main():
     key = jax.random.PRNGKey(3)
 
     g_fn = jax.jit(lambda g, im: guidance.apply(g, im))
+    subset = tuple(range(M))  # the serving head set: mapping heads only
+    gs_fn = jax.jit(lambda g, im: guidance.apply(g, im, subset, method="heads_subset"))
     vit_fn = jax.jit(lambda g, im: guidance.apply(g, im, method="vit_logits"))
     enc_fn = jax.jit(lambda s, xf: jax.vmap(lambda v: cond.apply(v, xf, method="encode"))(s))
     scan_fn = jax.jit(lambda s, yh, k: nested_ensemble_sample(
         cond, s, x_flat, yh, k, sched, mc_trials=K, tau=tau, eta=args.eta))
 
     def full_fn(g, s, im, k):
+        # all K+1 heads — the pre-round-3 serving path, kept for comparison
         heads = guidance.apply(g, im)
         yh = jax.nn.softmax(heads.astype(jnp.float32), axis=-1)[:M]
         return nested_ensemble_sample(cond, s, im.reshape(B, -1), yh, k, sched,
                                       mc_trials=K, tau=tau, eta=args.eta)
 
+    def full_subset_fn(g, s, im, k):
+        # the CURRENT serving path: only the M mapping heads are computed
+        heads = guidance.apply(g, im, subset, method="heads_subset")
+        yh = jax.nn.softmax(heads.astype(jnp.float32), axis=-1)
+        return nested_ensemble_sample(cond, s, im.reshape(B, -1), yh, k, sched,
+                                      mc_trials=K, tau=tau, eta=args.eta)
+
     full_jit = jax.jit(full_fn)
+    full_subset_jit = jax.jit(full_subset_fn)
 
     # distinct inputs per rep (identical dispatches get deduped remotely)
     n_var = 8
@@ -145,17 +156,23 @@ def main():
     for name, fn, argsets, mult in [
         ("vit_only_ms", vit_fn, [(gvars, im) for im in img_vars], 40),
         ("guidance_ms", g_fn, [(gvars, im) for im in img_vars], 40),
+        ("guidance_subset_ms", gs_fn, [(gvars, im) for im in img_vars], 40),
         ("encode_ms", enc_fn, [(stacked, im.reshape(B, -1)) for im in img_vars], 20),
         ("scan_only_ms", scan_fn, [(stacked, yh, k) for yh, k in zip(yh_vars, keys)], 1),
         ("full_ms", full_jit, [(gvars, stacked, im, k) for im, k in zip(img_vars, keys)], 1),
+        ("full_subset_ms", full_subset_jit,
+         [(gvars, stacked, im, k) for im, k in zip(img_vars, keys)], 1),
     ]:
         t = timeit(fn, args.reps * mult, argsets) * 1e3
         results[name] = round(t, 2)
         print(f"[profile] {name}: {t:.2f} ms", file=sys.stderr)
 
     results["fixed_cost_ms"] = round(results["full_ms"] - results["scan_only_ms"], 2)
+    results["fixed_cost_subset_ms"] = round(
+        results["full_subset_ms"] - results["scan_only_ms"], 2)
     results["batch"] = B
     results["img_per_sec_full"] = round(B / (results["full_ms"] / 1e3), 1)
+    results["img_per_sec_subset"] = round(B / (results["full_subset_ms"] / 1e3), 1)
     print(json.dumps(results))
 
 
