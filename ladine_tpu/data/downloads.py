@@ -40,7 +40,13 @@ from typing import Tuple
 
 import numpy as np
 
-from ladine_tpu.data.arrays import ArrayDataset, compose, random_rotate
+from ladine_tpu.data.arrays import (
+    ArrayDataset,
+    compose,
+    random_rotate,
+    repeat_channels,
+    resize_to,
+)
 
 MNIST_FAMILY = ("MNIST", "FashionMNIST", "RotatedMNIST", "PathMNIST")
 
@@ -102,15 +108,6 @@ def _luma_3ch(batch: np.ndarray, rng) -> np.ndarray:
     return np.repeat(batch, 3, axis=-1)
 
 
-def _resize(h: int, w: int):
-    def t(batch, rng):
-        from ladine_tpu.ops.corruptions import bilinear_resize
-
-        return np.asarray(bilinear_resize(batch, h, w))
-
-    return t
-
-
 def load_mnist_family(
     name: str,
     root: str,
@@ -137,18 +134,20 @@ def load_mnist_family(
             stages.append(_luma_3ch)
         elif preprocess != "none":
             raise ValueError("PathMNIST preprocess must be grayscaled|none")
-        stages.append(_resize(*image_size))
+        stages.append(resize_to(*image_size))
         return ArrayDataset(images, labels, transform=compose(*stages))
 
     raw_dir = os.path.join(
         root, "FashionMNIST" if name == "FashionMNIST" else "MNIST", "raw"
     )
-    # RotatedMNIST's valid split is the TRAIN corpus (reference quirk)
-    train_corpus = split == "train" or (name == "RotatedMNIST" and split == "valid")
-    images, labels = load_idx_split(raw_dir, train=train_corpus)
-    stages = [lambda b, rng: np.repeat(b, 3, axis=-1)]  # 1ch -> 3ch
+    # the idx wire format has no validation corpus: 'valid' serves the TRAIN
+    # corpus (never t10k — selection/calibration must not touch the test
+    # set), matching the reference's RotatedMNIST convention
+    # (dataset.py:258-263: valid uses train=True)
+    images, labels = load_idx_split(raw_dir, train=split != "test")
+    stages = [repeat_channels(3)]  # 1ch -> 3ch
     if name == "RotatedMNIST":
         # rotation BEFORE resize, on the native 28x28 (the Compose order)
         stages.append(random_rotate(45.0 if split == "train" else 90.0))
-    stages.append(_resize(*image_size))
+    stages.append(resize_to(*image_size))
     return ArrayDataset(images, labels, transform=compose(*stages))

@@ -116,11 +116,18 @@ class SEViTGuidance(nn.Module):
                 )
         mlp_ids = sorted({i for i in indices if i < k_full})
         outs = {}
-        if mlp_ids:
+        if mlp_ids and k_full in indices:
+            # both paths needed: share the patch embedding (as __call__ does)
+            depths = tuple(i + 1 for i in mlp_ids)
+            logits, taps = self.vit.forward_with_taps(x, depths)
+            outs[k_full] = logits
+            for i, tap in zip(mlp_ids, taps):
+                outs[i] = self.mlps[i](tap)
+        elif mlp_ids:
             depths = tuple(i + 1 for i in mlp_ids)
             taps = self.vit.tap_features(x, depths)  # increasing-depth order
             for i, tap in zip(mlp_ids, taps):
                 outs[i] = self.mlps[i](tap)
-        if k_full in indices:
+        elif k_full in indices:
             outs[k_full] = self.vit(x)
         return jnp.stack([outs[i] for i in indices], axis=0)

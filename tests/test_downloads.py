@@ -56,7 +56,11 @@ def test_mnist_splits_and_transform(mnist_root):
     for name in ("MNIST", "FashionMNIST"):
         train = load_mnist_family(name, mnist_root, "train", image_size=(32, 32))
         test = load_mnist_family(name, mnist_root, "test", image_size=(32, 32))
+        valid = load_mnist_family(name, mnist_root, "valid", image_size=(32, 32))
         assert len(train) == 24 and len(test) == 8
+        # 'valid' must serve the TRAIN corpus — selection/calibration must
+        # never touch t10k (the idx format has no validation corpus)
+        assert len(valid) == 24
         images, labels = next(train.batches(4))
         # grayscale -> 3 channels, resized, [0, 1]
         assert images.shape == (4, 32, 32, 3)
