@@ -33,20 +33,35 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def sh(args, log_path, env=None):
-    t0 = time.time()
-    print(f"[run] {' '.join(args)}", file=sys.stderr)
-    with open(log_path, "a") as f:
-        f.write(f"\n===== {' '.join(args)}\n")
-        f.flush()
-        res = subprocess.run(args, cwd=REPO, env=env, stdout=f,
-                             stderr=subprocess.STDOUT)
-    dt = time.time() - t0
-    print(f"[run] rc={res.returncode} ({dt:.0f}s)", file=sys.stderr)
-    if res.returncode != 0:
-        tail = open(log_path).read()[-3000:]
-        raise RuntimeError(f"step failed (rc={res.returncode}):\n{tail}")
-    return dt
+# the remote-TPU tunnel occasionally wedges an RPC (client sleeps forever,
+# zero I/O — docs/OPERATIONS.md); a per-step timeout + one retry turns a
+# stuck overnight run into a resumed one. Longest healthy step observed is
+# ~25 min (stage-1a at full dims incl. remote compile).
+STEP_TIMEOUT_S = 3600
+
+
+def sh(args, log_path, env=None, timeout=STEP_TIMEOUT_S, retries=1):
+    for attempt in range(retries + 1):
+        t0 = time.time()
+        print(f"[run] {' '.join(args)}", file=sys.stderr)
+        with open(log_path, "a") as f:
+            f.write(f"\n===== {' '.join(args)}\n")
+            f.flush()
+            try:
+                res = subprocess.run(args, cwd=REPO, env=env, stdout=f,
+                                     stderr=subprocess.STDOUT, timeout=timeout)
+            except subprocess.TimeoutExpired:
+                f.write(f"\n===== TIMED OUT after {timeout}s (attempt {attempt})\n")
+                print(f"[run] step timed out after {timeout}s (wedged tunnel "
+                      f"RPC?); attempt {attempt}", file=sys.stderr)
+                continue
+        dt = time.time() - t0
+        print(f"[run] rc={res.returncode} ({dt:.0f}s)", file=sys.stderr)
+        if res.returncode != 0:
+            tail = open(log_path).read()[-3000:]
+            raise RuntimeError(f"step failed (rc={res.returncode}):\n{tail}")
+        return dt
+    raise RuntimeError(f"step timed out {retries + 1}x ({timeout}s each): {args}")
 
 
 def last_json(log_path):
