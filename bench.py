@@ -110,8 +110,18 @@ def parse_args():
 
 
 def _setup_platform(args):
+    import os
+
     import jax
 
+    # persistent compile cache: the battery compiles four full-size programs
+    # and a remote-TPU compile is minutes each; reruns (and later rounds)
+    # skip them entirely
+    try:
+        if not os.environ.get("JAX_COMPILATION_CACHE_DIR"):
+            jax.config.update("jax_compilation_cache_dir", "/tmp/ladine_jaxcache")
+    except Exception:
+        pass
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
     else:
