@@ -35,6 +35,14 @@ def build_parser():
                         "reference's per-MLP workflow; required at full dims "
                         "on one chip (5 concurrent 625M-param Adam states "
                         "exceed 16 GB HBM)")
+    p.add_argument("--sequential", action="store_true",
+                   help="train all K MLPs ONE AT A TIME in this process: "
+                        "same per-member memory footprint as --mlp_idx (one "
+                        "Adam state resident) but the frozen ViT transfers "
+                        "over the (slow remote) link once instead of K "
+                        "times; members whose block_k checkpoint already "
+                        "exists are skipped (resumable). Identical init "
+                        "keys to the per-invocation workflow")
     p.add_argument("--num_classes", type=int, default=2)
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--out", type=str, default="./models")
@@ -116,48 +124,76 @@ def main(argv=None) -> int:
                         step_decay(args.lr, args.step_size, args.gamma, steps_per_epoch),
                         grad_clip=None)
     num_patches = (img // patch) ** 2
-    members = (args.mlp_idx,) if args.mlp_idx is not None else None
-    n_train = 1 if args.mlp_idx is not None else args.num_members
-    states = create_mapping_states(mlp, jax.random.PRNGKey(args.seed), tx,
-                                   args.num_members, num_patches, embed,
-                                   member_indices=members)
-    # donate the state: without it the update holds old+new params+Adam
-    # moments live at once (~20 GB at full dims for one member)
-    train_step = jax.jit(
-        make_mapping_train_step(vit, vparams, mlp, tx, args.num_members,
-                                member_indices=members),
-        donate_argnums=(0,),
-    )
-    eval_step = jax.jit(make_mapping_eval_step(vit, vparams, mlp, args.num_members,
-                                               member_indices=members))
 
-    best = np.full(n_train, -1.0)
-    best_params = [None] * n_train
-    for epoch in range(args.epochs):
-        for images, labels in batches("train", args.batch_size, shuffle=True, seed=epoch):
-            states, losses, accs = train_step(states, jnp.asarray(images), jnp.asarray(labels))
-        correct = np.zeros(n_train)
-        total = 0
-        for images, labels in batches("valid", args.batch_size):
-            correct += np.asarray(eval_step(states.params, jnp.asarray(images), jnp.asarray(labels)))
-            total += len(labels)
-        val_acc = 100.0 * correct / max(total, 1)
-        logger.info(f"epoch {epoch}: val accs {np.round(val_acc, 2).tolist()}")
-        for k in range(n_train):
-            if val_acc[k] > best[k]:
-                best[k] = val_acc[k]
-                # snapshot ON DEVICE: a host pull of a full-size 625M-param
-                # MLP through a remote-TPU tunnel costs minutes per epoch;
-                # device copies are ~ms and save_checkpoint device_gets once
-                best_params[k] = jax.tree.map(lambda x: x[k], states.params)
-    for k in range(n_train):
-        member = args.mlp_idx if args.mlp_idx is not None else k
-        path = os.path.join(args.out, args.dataset, "MLPs", f"block_{member}")
-        save_checkpoint(path, {"params": best_params[k]},
-                        {"member": member, "accuracy": float(best[k]), "kind": "mapping_mlp"})
-        logger.info(f"saved MLP {member} (acc {best[k]:.2f}%) to {path}")
+    def train_member_set(members):
+        """Train the given member index set concurrently (None = all K);
+        saves per-member best checkpoints and returns their accuracies."""
+        ids = list(members) if members is not None else list(range(args.num_members))
+        n_train = len(ids)
+        states = create_mapping_states(mlp, jax.random.PRNGKey(args.seed), tx,
+                                       args.num_members, num_patches, embed,
+                                       member_indices=members)
+        # donate the state: without it the update holds old+new params+Adam
+        # moments live at once (~20 GB at full dims for one member)
+        train_step = jax.jit(
+            make_mapping_train_step(vit, vparams, mlp, tx, args.num_members,
+                                    member_indices=members),
+            donate_argnums=(0,),
+        )
+        eval_step = jax.jit(make_mapping_eval_step(vit, vparams, mlp, args.num_members,
+                                                   member_indices=members))
+
+        best = np.full(n_train, -1.0)
+        best_params = [None] * n_train
+        for epoch in range(args.epochs):
+            for images, labels in batches("train", args.batch_size, shuffle=True, seed=epoch):
+                states, losses, accs = train_step(states, jnp.asarray(images), jnp.asarray(labels))
+            correct = np.zeros(n_train)
+            total = 0
+            for images, labels in batches("valid", args.batch_size):
+                correct += np.asarray(eval_step(states.params, jnp.asarray(images), jnp.asarray(labels)))
+                total += len(labels)
+            val_acc = 100.0 * correct / max(total, 1)
+            logger.info(f"epoch {epoch}: val accs {np.round(val_acc, 2).tolist()} "
+                        f"(members {ids})")
+            for k in range(n_train):
+                if val_acc[k] > best[k]:
+                    best[k] = val_acc[k]
+                    # snapshot ON DEVICE: a host pull of a full-size 625M-
+                    # param MLP through a remote-TPU tunnel costs minutes per
+                    # epoch; device copies are ~ms and save_checkpoint
+                    # device_gets once
+                    best_params[k] = jax.tree.map(lambda x: x[k], states.params)
+        for k, member in enumerate(ids):
+            path = os.path.join(args.out, args.dataset, "MLPs", f"block_{member}")
+            save_checkpoint(path, {"params": best_params[k]},
+                            {"member": member, "accuracy": float(best[k]),
+                             "kind": "mapping_mlp"})
+            logger.info(f"saved MLP {member} (acc {best[k]:.2f}%) to {path}")
+        return best.tolist()
+
+    if args.sequential and args.mlp_idx is None:
+        # one member resident at a time (the --mlp_idx memory footprint) but
+        # the ViT load above is paid once; complete members are skipped so a
+        # killed run resumes where it stopped
+        accs = []
+        for k in range(args.num_members):
+            meta_p = os.path.join(args.out, args.dataset, "MLPs", f"block_{k}",
+                                  "ladine_meta.json")
+            if os.path.exists(meta_p):
+                acc = json.load(open(meta_p)).get("accuracy")
+                logger.info(f"MLP {k} already trained (acc {acc}); skipping")
+                accs.append(acc)
+                continue
+            accs.extend(train_member_set((k,)))
+        print(json.dumps({"mode": "train_mapping", "sequential": True,
+                          "best_val_accuracies": accs}))
+        return 0
+
+    members = (args.mlp_idx,) if args.mlp_idx is not None else None
+    best = train_member_set(members)
     print(json.dumps({"mode": "train_mapping", "mlp_idx": args.mlp_idx,
-                      "best_val_accuracies": best.tolist()}))
+                      "best_val_accuracies": best}))
     return 0
 
 

@@ -94,3 +94,43 @@ def test_mlp_idx_matches_concurrent_member(tmp_path):
                                    rtol=1e-6, err_msg=k)
     # and only the requested block was written
     assert os.listdir(os.path.join(out_one, "ChestXRay", "MLPs")) == ["block_1"]
+
+
+def test_sequential_matches_per_invocation(tmp_path):
+    """--sequential trains the same members with the same init keys as K
+    separate --mlp_idx invocations (one ViT load instead of K), and skips
+    already-complete members on rerun."""
+    from ladine_tpu.cli.train_mapping import main as tm_main
+    from ladine_tpu.utils import load_checkpoint
+
+    out_seq = str(tmp_path / "seq")
+    rc = tm_main(["--demo", "--cpu", "--epochs", "2", "--num_members", "3",
+                  "--sequential", "--out", out_seq])
+    assert rc == 0
+    out_one = str(tmp_path / "one")
+    rc = tm_main(["--demo", "--cpu", "--epochs", "2", "--num_members", "3",
+                  "--mlp_idx", "2", "--out", out_one])
+    assert rc == 0
+
+    a, ma = load_checkpoint(os.path.join(out_seq, "ChestXRay", "MLPs", "block_2"))
+    b, _ = load_checkpoint(os.path.join(out_one, "ChestXRay", "MLPs", "block_2"))
+    fa = {jax.tree_util.keystr(k): v
+          for k, v in jax.tree_util.tree_flatten_with_path(a)[0]}
+    fb = {jax.tree_util.keystr(k): v
+          for k, v in jax.tree_util.tree_flatten_with_path(b)[0]}
+    assert set(fa) == set(fb)
+    for k in fa:
+        np.testing.assert_allclose(np.asarray(fa[k]), np.asarray(fb[k]),
+                                   rtol=1e-6, err_msg=k)
+    assert sorted(os.listdir(os.path.join(out_seq, "ChestXRay", "MLPs"))) == [
+        "block_0", "block_1", "block_2"]
+
+    # rerun: everything already trained -> all skipped, accuracies re-read
+    mtime = os.path.getmtime(
+        os.path.join(out_seq, "ChestXRay", "MLPs", "block_2", "ladine_meta.json"))
+    rc = tm_main(["--demo", "--cpu", "--epochs", "2", "--num_members", "3",
+                  "--sequential", "--out", out_seq])
+    assert rc == 0
+    assert os.path.getmtime(
+        os.path.join(out_seq, "ChestXRay", "MLPs", "block_2", "ladine_meta.json")
+    ) == mtime
