@@ -166,7 +166,22 @@ def main(argv=None) -> int:
                     best_params[k] = jax.tree.map(lambda x: x[k], states.params)
         for k, member in enumerate(ids):
             path = os.path.join(args.out, args.dataset, "MLPs", f"block_{member}")
-            save_checkpoint(path, {"params": best_params[k]},
+            # pull the 625M-param snapshot over the (slow, wedge-prone
+            # remote) link in bf16 — half the bytes — and re-materialize
+            # fp32 on host. Numerically free: the guidance is FROZEN after
+            # stage 1b and every consumer casts it to bf16 anyway
+            # (precompute/eval eval_cast; docs/OPERATIONS.md failure modes)
+            snap = jax.tree.map(
+                lambda x: x.astype(jnp.bfloat16)
+                if x.dtype == jnp.float32 else x,
+                best_params[k],
+            )
+            host = jax.tree.map(
+                lambda x: np.asarray(x, np.float32)
+                if x.dtype == jnp.bfloat16 else x,
+                jax.device_get(snap),
+            )
+            save_checkpoint(path, {"params": host},
                             {"member": member, "accuracy": float(best[k]),
                              "kind": "mapping_mlp"})
             logger.info(f"saved MLP {member} (acc {best[k]:.2f}%) to {path}")
