@@ -113,6 +113,39 @@ def md_row(name, r):
             f"{r['nll']:.4f} | {r['brier']:.4f}  |")
 
 
+def uncertainty_lines(rows):
+    """PIW / MC-variance separation table: the reference's per-class
+    correct-vs-incorrect uncertainty block (classification_train_separately
+    .py:102-174, :811-814) — the method's core claim is that incorrect
+    predictions carry visibly larger predictive intervals/variance.
+    ``rows`` is {label: report}; entries without both groups show '—'
+    (report JSON stores empty groups as null after NaN sanitization)."""
+
+    def mean_of(r, key):
+        vals = [v for v in (r.get(key) or []) if v is not None]
+        return f"{sum(vals) / len(vals):.3f}" if vals else "—"
+
+    out = [
+        "",
+        "Uncertainty separation at the predicted class (mean over classes;",
+        "the method's headline signal — incorrect predictions should carry",
+        "wider prediction intervals and higher MC variance):",
+        "",
+        "| evaluation | PIW correct | PIW incorrect | MC var correct | MC var incorrect |",
+        "|---|---|---|---|---|",
+    ]
+    for name, r in rows.items():
+        if r is None:
+            continue
+        out.append(
+            f"| {name} | {mean_of(r, 'piw_correct')} | "
+            f"{mean_of(r, 'piw_incorrect')} | "
+            f"{mean_of(r, 'mc_variance_correct')} | "
+            f"{mean_of(r, 'mc_variance_incorrect')} |"
+        )
+    return out
+
+
 def run_real(args):
     """One-command parity-evaluation flow for REAL reference artifacts +
     data: convert the reference's .pth tree (cli.convert), calibrate, run
@@ -219,6 +252,12 @@ def run_real(args):
     for name, label in (("atk_fgsm", "FGSM"), ("atk_pgd", "PGD")):
         if (r := row_report(name)) is not None:
             lines.append(md_row(f"attack: {label} (eps 0.03, white-box ViT)", r))
+    lines += uncertainty_lines({
+        "clean (DDIM-50)": row_report("d50"),
+        **{f"corruption: {n}": row_report(n) for n in CORRUPTION_ROWS},
+        "attack: FGSM": row_report("atk_fgsm"),
+        "attack: PGD": row_report("atk_pgd"),
+    })
     lines += [
         "",
         "Compare these rows against the reference's `test_atk` logs for the",
@@ -477,6 +516,11 @@ def main():
         lines.append(md_row(f"corruption: {name}", r))
     for name, r in atk.items():
         lines.append(md_row(f"attack: {name} (eps 0.03, white-box ViT)", r))
+    lines += uncertainty_lines({
+        "clean (DDIM-50)": clean_d50,
+        **{f"corruption: {n}": r for n, r in corr.items()},
+        **{f"attack: {n}": r for n, r in atk.items()},
+    })
     lines += [
         "",
         "Step timings (s): " + json.dumps({k: round(v) for k, v in timings.items()}),
