@@ -122,6 +122,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--noise_prior", action="store_true",
                    help="zero prior mean at T instead of the guidance "
                         "prediction (reference main.py:83-86,189)")
+    p.add_argument("--noise_prior_sample_only", action="store_true",
+                   help="with --noise_prior: reference-EXACT semantics — the "
+                        "zero prior applies only at sampling, not in the "
+                        "training q_sample (the reference's live train loop "
+                        "never consults the flag; needed for weight "
+                        "compatibility with reference --noise_prior "
+                        "checkpoints, PARITY.md deviations)")
     p.add_argument("--no_cat_f_phi", action="store_true",
                    help="do not concatenate the guidance prediction onto the "
                         "eps-net y-branch input (reference main.py:87-90)")
@@ -214,6 +221,8 @@ def main(argv=None) -> int:
         cfg.diffusion.skip_type = args.skip_type
     if args.noise_prior:
         cfg.diffusion.noise_prior = True
+    if args.noise_prior_sample_only:
+        cfg.diffusion.noise_prior_training = False
     if args.no_cat_f_phi:
         cfg.diffusion.include_guidance = False
     if args.bf16:

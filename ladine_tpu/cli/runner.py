@@ -647,20 +647,24 @@ class Runner:
                 f"resumed from {resume_from} at epoch {start_epoch} (best acc {best_acc:.2f})"
             )
         raw_joint = None
+        # noise_prior in TRAINING only when noise_prior_training (default);
+        # False reproduces the reference's live train loop, which never
+        # consults the flag (PARITY.md documented deviations)
+        train_noise_prior = c.diffusion.noise_prior and c.diffusion.noise_prior_training
         if joint_train:
             from ladine_tpu.train import make_joint_train_step
 
             raw_joint = make_joint_train_step(
                 self.guidance, self.cond, tx, aux_tx, self.sched,
                 n_train_members, c.data.num_classes, c.model.ema_rate,
-                head_indices=head_indices, noise_prior=c.diffusion.noise_prior,
+                head_indices=head_indices, noise_prior=train_noise_prior,
             )
         if precompute_yhat:
             from ladine_tpu.train import make_multi_member_step
 
             raw_step = make_multi_member_step(
                 self.cond, tx, self.sched, c.model.ema_rate,
-                c.diffusion.noise_prior,
+                train_noise_prior,
             )
         else:
             # guidance_vars is a STEP ARGUMENT (closure would bake ~13 GB of
@@ -668,7 +672,7 @@ class Runner:
             raw_step = make_full_train_step(
                 self.guidance, self.cond, tx, self.sched,
                 n_train_members, c.data.num_classes, c.model.ema_rate,
-                head_indices=head_indices, noise_prior=c.diffusion.noise_prior,
+                head_indices=head_indices, noise_prior=train_noise_prior,
             )
         if mesh is not None:
             from ladine_tpu.parallel import (

@@ -65,6 +65,14 @@ class DiffusionConfig:
     # reverse chain (used by the tune_T/test_image_task paths,
     # classification_train_separately.py:1565,1654)
     noise_prior: bool = False
+    # Where --noise_prior applies during TRAINING. True (default): the zero
+    # prior also enters q_sample, keeping forward/reverse consistent. False:
+    # reference-exact semantics — the live reference train loop never
+    # consults the flag (classification_train_separately.py:963-968; it only
+    # zeroes the prior at sampling, :1565,:1654), so reference --noise_prior
+    # checkpoints train WITH the guidance prior. Set False for weight
+    # compatibility with such checkpoints (PARITY.md documented deviations).
+    noise_prior_training: bool = True
     # TPU addition: strided sampler (0 = full ancestral, reference behavior)
     ddim_steps: int = 0
     # eta=1 (stochastic strided) is the default: eta=0 collapses per-chain

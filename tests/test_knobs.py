@@ -120,3 +120,39 @@ def test_no_cat_f_phi_changes_param_count():
     n_g = sum(x.size for x in jax.tree.leaves(v_g["params"]))
     n_n = sum(x.size for x in jax.tree.leaves(v_n["params"]))
     assert n_g > n_n
+
+
+def test_noise_prior_sample_only_reference_semantics(tmp_path):
+    """--noise_prior_sample_only: training q_sample keeps the guidance prior
+    (the reference's live train loop never consults the flag) while the
+    default --noise_prior run trains with the zero prior — the two runs
+    produce DIFFERENT weights from the same seed, and the sample-only run's
+    weights equal a run without --noise_prior at all (training-side
+    equivalence)."""
+    from ladine_tpu.cli.main import main
+    from ladine_tpu.utils import load_checkpoint
+
+    def train(doc, extra):
+        exp = str(tmp_path / doc)
+        # ONE epoch: exactly one validation -> best-checkpoint selection is
+        # epoch 0 in every run, so saved weights reflect training semantics
+        # alone (validation sampling differs between the runs by design)
+        rc = main(["--demo", "--train", "--cpu", "--timesteps", "8",
+                   "--n_epochs", "1", "--seed", "5", "--exp", exp,
+                   "--doc", doc, *extra])
+        assert rc == 0
+        log_dir = os.path.join(exp, "logs", doc)
+        ck = sorted(d for d in os.listdir(log_dir) if d.startswith("diffu_all"))[-1]
+        tree, _ = load_checkpoint(os.path.join(log_dir, ck))
+        return tree["states"]["params"]
+
+    full = train("np_full", ["--noise_prior"])
+    sample_only = train("np_sample_only", ["--noise_prior",
+                                           "--noise_prior_sample_only"])
+    plain = train("np_off", [])
+
+    l_full = np.concatenate([np.asarray(x).ravel() for x in jax.tree.leaves(full)])
+    l_so = np.concatenate([np.asarray(x).ravel() for x in jax.tree.leaves(sample_only)])
+    l_plain = np.concatenate([np.asarray(x).ravel() for x in jax.tree.leaves(plain)])
+    assert not np.allclose(l_full, l_so)          # training semantics differ
+    np.testing.assert_allclose(l_so, l_plain, rtol=1e-6)  # = reference train loop
