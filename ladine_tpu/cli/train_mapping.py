@@ -201,6 +201,15 @@ def main(argv=None) -> int:
                 accs.append(acc)
                 continue
             accs.extend(train_member_set((k,)))
+            # drop compiled programs + transfer buffers between members —
+            # REMOTE-TUNNEL CAVEAT: the tunnel client can additionally hold
+            # ~30 GB of host buffers per member that outlive these calls
+            # (observed OOM at 130 GB over 4 members); over a tunnel prefer
+            # one process per member (scripts/run_results.py does)
+            import gc
+
+            jax.clear_caches()
+            gc.collect()
         print(json.dumps({"mode": "train_mapping", "sequential": True,
                           "best_val_accuracies": accs}))
         return 0

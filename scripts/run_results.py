@@ -355,19 +355,21 @@ def main():
     # full-size Adam states (~37 GB fp32) exceed one 16 GB chip
     s1b_log = os.path.join(w, "stage1b.log")
     mlp_dir = os.path.join(models, "ChestXRay", "MLPs")
-    missing_mlps = [k for k in range(5)
-                    if not os.path.isdir(os.path.join(mlp_dir, f"block_{k}"))]
-    if missing_mlps:
-        # ONE --sequential invocation: the per-member memory footprint, but
-        # the ~2.5 GB frozen ViT crosses the tunnel once instead of 5x; the
-        # CLI itself skips members whose block_k checkpoint exists
-        timings["stage1b_s"] = sh(
-            py + ["-m", "ladine_tpu.cli.train_mapping", *cpu, *dims,
-                  *mlp_dims_flag, "--dataset", "ChestXRay", "--dataroot", ds,
-                  "--epochs", str(e1), "--batch_size", "30", "--out", models,
-                  "--vit_ckpt", vit_ckpt, "--num_members", "5",
-                  "--sequential"],
-            s1b_log, env, timeout=4 * STEP_TIMEOUT_S)
+    # one SUBPROCESS per member, not --sequential: over the remote tunnel
+    # the client accumulates ~30 GB of host transfer buffers per member that
+    # Python-level GC cannot release — a 5-member sequential process was
+    # OOM-killed at ~130 GB RSS mid-run (round 3). Per-member processes
+    # reset host memory; the bf16 snapshot pull keeps saves fast either way.
+    # (--sequential remains available for local accelerators.)
+    for k in range(5):
+        if not os.path.isdir(os.path.join(mlp_dir, f"block_{k}")):
+            timings[f"stage1b_m{k}_s"] = sh(
+                py + ["-m", "ladine_tpu.cli.train_mapping", *cpu, *dims,
+                      *mlp_dims_flag, "--dataset", "ChestXRay", "--dataroot", ds,
+                      "--epochs", str(e1), "--batch_size", "30", "--out", models,
+                      "--vit_ckpt", vit_ckpt, "--num_members", "5",
+                      "--mlp_idx", str(k)],
+                s1b_log, env)
     # read each member's accuracy from its saved checkpoint metadata, not the
     # run log — a resumed run retrains only the missing members, so the log
     # holds a partial list
