@@ -23,7 +23,7 @@ from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 import numpy as np
 
 
-def build_demo_predictor():
+def build_demo_predictor(mesh=None):
     import jax
     import jax.numpy as jnp
 
@@ -40,7 +40,7 @@ def build_demo_predictor():
     return Predictor(guidance=g, guidance_vars=gv, model=m,
                      stacked_vars=stack_members(members),
                      sched=DiffusionSchedule.create("linear", 100),
-                     mc_trials=4, ddim_steps=10)
+                     mc_trials=4, ddim_steps=10, mesh=mesh)
 
 
 def main():
@@ -54,6 +54,10 @@ def main():
                          "one device call up to this many images")
     ap.add_argument("--max_wait_ms", type=float, default=10.0,
                     help="how long a lone request lingers for co-riders")
+    ap.add_argument("--mesh", action="store_true",
+                    help="serve over ALL visible devices: member-sharded "
+                         "ensemble + data-sharded request batches "
+                         "(('member','data') mesh, infer/serve.py)")
     args = ap.parse_args()
 
     import jax
@@ -63,10 +67,23 @@ def main():
 
     from ladine_tpu.infer import Predictor
 
+    mesh = None
+    if args.mesh:
+        from ladine_tpu.parallel import make_mesh
+
+        # member dim comes from the artifact's stacked members; demo uses 3
+        mesh = make_mesh(len(jax.devices()), num_members=3)
     if args.demo:
-        predictor = build_demo_predictor()
+        predictor = build_demo_predictor(mesh=mesh)
     elif args.artifact:
-        predictor = Predictor.load(args.artifact)
+        if args.mesh:
+            # size the member axis from the saved ensemble before loading
+            from ladine_tpu.utils.checkpoint import load_checkpoint_meta
+
+            meta = load_checkpoint_meta(args.artifact)
+            mesh = make_mesh(len(jax.devices()),
+                             num_members=meta["guidance"]["num_members"])
+        predictor = Predictor.load(args.artifact, mesh=mesh)
     else:
         ap.error("pass --artifact PATH or --demo")
     size = predictor.guidance.img_size

@@ -54,6 +54,12 @@ class Predictor:
     # which guidance heads condition the stacked members; None = heads
     # 0..n_stacked-1 (set to e.g. (2,) for a single-member --mlp_idx artifact)
     head_indices: Optional[tuple] = None
+    # jax.sharding.Mesh with axes ('member', 'data') for multi-chip serving:
+    # stacked member variables shard over 'member', the request batch over
+    # 'data', guidance stays replicated — the same GSPMD layout the
+    # evaluator uses (infer/evaluator.py). None = single-device serving.
+    # Not persisted by save(); pass Predictor.load(path, mesh=...) to attach.
+    mesh: Any = None
 
     def __post_init__(self):
         self._tau = (
@@ -86,8 +92,7 @@ class Predictor:
                 f"has {n_heads} heads (0..{n_heads - 1})"
             )
 
-        @jax.jit
-        def _run(gvars, stacked, images, key):
+        def _raw(gvars, stacked, images, key):
             heads = self.guidance.apply(gvars, images, idx, method="heads_subset")
             y0_hat = jax.nn.softmax(heads.astype(jnp.float32), axis=-1)
             x_flat = images.reshape(images.shape[0], -1)
@@ -108,7 +113,49 @@ class Predictor:
             )[:, 0]
             return probs, mv, piw, var
 
-        self._run = _run
+        if self.mesh is None:
+            self._run = jax.jit(_raw)
+        else:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            member = NamedSharding(self.mesh, P("member"))
+            data = NamedSharding(self.mesh, P("data"))
+            rep = NamedSharding(self.mesh, P())
+            # resident layout: member-sharded ensemble, replicated guidance —
+            # done ONCE here so every predict() reuses the distributed copy
+            self.stacked_vars = jax.tree.map(
+                lambda x: jax.device_put(x, member), self.stacked_vars
+            )
+            self.guidance_vars = jax.tree.map(
+                lambda x: jax.device_put(x, rep), self.guidance_vars
+            )
+            sharded = jax.jit(
+                _raw,
+                in_shardings=(
+                    jax.tree.map(lambda _: rep, self.guidance_vars),
+                    jax.tree.map(lambda _: member, self.stacked_vars),
+                    data,
+                    rep,
+                ),
+                # every output is batch-leading: probs (B,C), vote/piw/var (B,)
+                out_shardings=(data, data, data, data),
+            )
+            plain_cache = {}
+            data_dim = dict(
+                zip(self.mesh.axis_names, self.mesh.devices.shape)
+            )["data"]
+
+            def _run(gvars, stacked, images, key):
+                # a request batch that doesn't tile the data axis falls back
+                # to an unsharded program (same fallback the evaluator uses
+                # for drop_last=False tail batches)
+                if images.shape[0] % data_dim != 0:
+                    if "fn" not in plain_cache:
+                        plain_cache["fn"] = jax.jit(_raw)
+                    return plain_cache["fn"](gvars, stacked, images, key)
+                return sharded(gvars, stacked, images, key)
+
+            self._run = _run
         # itertools.count: atomic under the GIL — concurrent predict() calls
         # in a threaded server must not reuse a key
         import itertools

@@ -49,6 +49,17 @@ def load_checkpoint(path: str, target: Optional[Any] = None) -> Tuple[Any, Dict]
     return tree, meta
 
 
+def load_checkpoint_meta(path: str) -> Dict:
+    """Read just the metadata sidecar — cheap (no pytree restore), for
+    callers that need geometry (e.g. ensemble size) before deciding how to
+    load the tree itself."""
+    meta_path = os.path.join(os.path.abspath(path), "ladine_meta.json")
+    if not os.path.exists(meta_path):
+        return {}
+    with open(meta_path) as f:
+        return json.load(f)
+
+
 def best_checkpoint_name(kind: str, member: int, epoch: int, accuracy: float) -> str:
     """Reference naming scheme: diffu{k}_ckpt_best_eph{E}_acc{A}
     (classification_train_separately.py:1122-1124)."""
