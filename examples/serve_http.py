@@ -67,22 +67,26 @@ def main():
 
     from ladine_tpu.infer import Predictor
 
-    mesh = None
     if args.mesh:
         from ladine_tpu.parallel import make_mesh
-
-        # member dim comes from the artifact's stacked members; demo uses 3
-        mesh = make_mesh(len(jax.devices()), num_members=3)
     if args.demo:
+        mesh = make_mesh(len(jax.devices()), num_members=3) if args.mesh else None
         predictor = build_demo_predictor(mesh=mesh)
     elif args.artifact:
+        mesh = None
         if args.mesh:
-            # size the member axis from the saved ensemble before loading
+            # size the member axis from the STACKED ensemble actually saved —
+            # a partial-member artifact (--mlp_idx export) stacks fewer
+            # members than the guidance has heads
             from ladine_tpu.utils.checkpoint import load_checkpoint_meta
 
             meta = load_checkpoint_meta(args.artifact)
-            mesh = make_mesh(len(jax.devices()),
-                             num_members=meta["guidance"]["num_members"])
+            if not meta:
+                ap.error(f"no predictor artifact at {args.artifact} "
+                         "(ladine_meta.json missing)")
+            hi = meta.get("head_indices")
+            n_members = len(hi) if hi else meta["guidance"]["num_members"]
+            mesh = make_mesh(len(jax.devices()), num_members=n_members)
         predictor = Predictor.load(args.artifact, mesh=mesh)
     else:
         ap.error("pass --artifact PATH or --demo")

@@ -444,7 +444,10 @@ def main(argv=None) -> int:
                 rep.pop("samples", None), rep.pop("labels", None)
                 # incremental per-row artifact: a killed run keeps its rows
                 with open(os.path.join(log_dir, f"report_{name}.json"), "w") as f:
-                    json.dump(rep, f, indent=2)
+                    # sanitize like the aggregate report: empty per-class
+                    # uncertainty cells are NaN and must serialize as null
+                    # (strict JSON), not the bare `NaN` literal
+                    json.dump(_json_sanitize(rep), f, indent=2)
                 rows[name] = {"accuracy": rep["mean_confidence_accuracy"],
                               "mv_accuracy": rep["majority_vote_accuracy"],
                               "ece": rep["ece"], "nll": rep["nll"],

@@ -43,6 +43,15 @@ def build_parser():
                         "times; members whose block_k checkpoint already "
                         "exists are skipped (resumable). Identical init "
                         "keys to the per-invocation workflow")
+    p.add_argument("--save_dtype", choices=("float32", "bfloat16"),
+                   default="float32",
+                   help="dtype the best-params snapshot is PULLED to host "
+                        "in. bfloat16 halves the transfer (the win that "
+                        "matters over a slow remote-TPU tunnel) and is "
+                        "numerically free when the downstream config casts "
+                        "the frozen guidance to bf16 anyway (model.dtype: "
+                        "bfloat16); float32 (default) keeps the saved "
+                        "weights bit-exact for fp32 consumers")
     p.add_argument("--num_classes", type=int, default=2)
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--out", type=str, default="./models")
@@ -60,7 +69,11 @@ def build_parser():
 
 
 def main(argv=None) -> int:
-    args = build_parser().parse_args(argv)
+    parser = build_parser()
+    args = parser.parse_args(argv)
+    if args.sequential and args.mlp_idx is not None:
+        parser.error("--sequential trains ALL members; it cannot be combined "
+                     "with --mlp_idx (pick one)")
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
     if args.lr is None:
@@ -166,21 +179,24 @@ def main(argv=None) -> int:
                     best_params[k] = jax.tree.map(lambda x: x[k], states.params)
         for k, member in enumerate(ids):
             path = os.path.join(args.out, args.dataset, "MLPs", f"block_{member}")
-            # pull the 625M-param snapshot over the (slow, wedge-prone
-            # remote) link in bf16 — half the bytes — and re-materialize
-            # fp32 on host. Numerically free: the guidance is FROZEN after
-            # stage 1b and every consumer casts it to bf16 anyway
-            # (precompute/eval eval_cast; docs/OPERATIONS.md failure modes)
-            snap = jax.tree.map(
-                lambda x: x.astype(jnp.bfloat16)
-                if x.dtype == jnp.float32 else x,
-                best_params[k],
-            )
-            host = jax.tree.map(
-                lambda x: np.asarray(x, np.float32)
-                if x.dtype == jnp.bfloat16 else x,
-                jax.device_get(snap),
-            )
+            if args.save_dtype == "bfloat16":
+                # pull the 625M-param snapshot over the (slow, wedge-prone
+                # remote) link in bf16 — half the bytes — and re-materialize
+                # fp32 on host. Numerically free ONLY when the downstream
+                # config casts the frozen guidance to bf16 (eval_cast with
+                # model.dtype: bfloat16) — hence opt-in, not default
+                snap = jax.tree.map(
+                    lambda x: x.astype(jnp.bfloat16)
+                    if x.dtype == jnp.float32 else x,
+                    best_params[k],
+                )
+                host = jax.tree.map(
+                    lambda x: np.asarray(x, np.float32)
+                    if x.dtype == jnp.bfloat16 else x,
+                    jax.device_get(snap),
+                )
+            else:
+                host = jax.device_get(best_params[k])
             save_checkpoint(path, {"params": host},
                             {"member": member, "accuracy": float(best[k]),
                              "kind": "mapping_mlp"})

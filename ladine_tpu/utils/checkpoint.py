@@ -41,12 +41,7 @@ def load_checkpoint(path: str, target: Optional[Any] = None) -> Tuple[Any, Dict]
         tree = _checkpointer().restore(path, item=jax.device_get(target))
     else:
         tree = _checkpointer().restore(path)
-    meta_path = os.path.join(path, "ladine_meta.json")
-    meta = {}
-    if os.path.exists(meta_path):
-        with open(meta_path) as f:
-            meta = json.load(f)
-    return tree, meta
+    return tree, load_checkpoint_meta(path)
 
 
 def load_checkpoint_meta(path: str) -> Dict:

@@ -25,6 +25,7 @@ from __future__ import annotations
 import argparse
 import glob
 import json
+import math
 import os
 import subprocess
 import sys
@@ -34,34 +35,55 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 # the remote-TPU tunnel occasionally wedges an RPC (client sleeps forever,
-# zero I/O — docs/OPERATIONS.md); a per-step timeout + one retry turns a
-# stuck overnight run into a resumed one. Longest healthy step observed is
-# ~25 min (stage-1a at full dims incl. remote compile).
-STEP_TIMEOUT_S = 3600
+# ZERO further I/O — docs/OPERATIONS.md). The kill signal is therefore
+# silence, not total runtime: a healthy step logs every few seconds (epoch
+# lines) and its longest quiet stretch is the ~7-10 min cold remote compile,
+# while a wedged one never writes again. Killing on a stall window (default
+# 30 min of no log growth) + one retry turns a stuck overnight run into a
+# resumed one without murdering legitimately long steps (full-dims CPU evals
+# or multi-hour member training have no total-time cap at all).
+STALL_TIMEOUT_S = 1800
 
 
-def sh(args, log_path, env=None, timeout=STEP_TIMEOUT_S, retries=1):
+def sh(args, log_path, env=None, stall_timeout=STALL_TIMEOUT_S, retries=1):
     for attempt in range(retries + 1):
         t0 = time.time()
         print(f"[run] {' '.join(args)}", file=sys.stderr)
         with open(log_path, "a") as f:
             f.write(f"\n===== {' '.join(args)}\n")
             f.flush()
-            try:
-                res = subprocess.run(args, cwd=REPO, env=env, stdout=f,
-                                     stderr=subprocess.STDOUT, timeout=timeout)
-            except subprocess.TimeoutExpired:
-                f.write(f"\n===== TIMED OUT after {timeout}s (attempt {attempt})\n")
-                print(f"[run] step timed out after {timeout}s (wedged tunnel "
-                      f"RPC?); attempt {attempt}", file=sys.stderr)
+            proc = subprocess.Popen(args, cwd=REPO, env=env, stdout=f,
+                                    stderr=subprocess.STDOUT)
+            stalled = False
+            last_size, last_growth = os.path.getsize(log_path), time.time()
+            while True:
+                try:
+                    proc.wait(timeout=15)
+                    break
+                except subprocess.TimeoutExpired:
+                    size = os.path.getsize(log_path)
+                    if size != last_size:
+                        last_size, last_growth = size, time.time()
+                    elif time.time() - last_growth > stall_timeout:
+                        proc.kill()
+                        proc.wait()
+                        stalled = True
+                        break
+            if stalled:
+                f.write(f"\n===== STALLED: no output for {stall_timeout}s "
+                        f"(attempt {attempt})\n")
+                print(f"[run] step stalled ({stall_timeout}s of silence — "
+                      f"wedged tunnel RPC?); attempt {attempt}",
+                      file=sys.stderr)
                 continue
         dt = time.time() - t0
-        print(f"[run] rc={res.returncode} ({dt:.0f}s)", file=sys.stderr)
-        if res.returncode != 0:
+        print(f"[run] rc={proc.returncode} ({dt:.0f}s)", file=sys.stderr)
+        if proc.returncode != 0:
             tail = open(log_path).read()[-3000:]
-            raise RuntimeError(f"step failed (rc={res.returncode}):\n{tail}")
+            raise RuntimeError(f"step failed (rc={proc.returncode}):\n{tail}")
         return dt
-    raise RuntimeError(f"step timed out {retries + 1}x ({timeout}s each): {args}")
+    raise RuntimeError(
+        f"step stalled {retries + 1}x ({stall_timeout}s silence each): {args}")
 
 
 def last_json(log_path):
@@ -122,7 +144,10 @@ def uncertainty_lines(rows):
     (report JSON stores empty groups as null after NaN sanitization)."""
 
     def mean_of(r, key):
-        vals = [v for v in (r.get(key) or []) if v is not None]
+        # tolerate both null (sanitized) and NaN (reports written before the
+        # per-row writer sanitized) empty cells
+        vals = [v for v in (r.get(key) or [])
+                if v is not None and math.isfinite(v)]
         return f"{sum(vals) / len(vals):.3f}" if vals else "—"
 
     out = [
@@ -368,7 +393,10 @@ def main():
                       *mlp_dims_flag, "--dataset", "ChestXRay", "--dataroot", ds,
                       "--epochs", str(e1), "--batch_size", "30", "--out", models,
                       "--vit_ckpt", vit_ckpt, "--num_members", "5",
-                      "--mlp_idx", str(k)],
+                      # bf16 host pull is safe here: the evidence config
+                      # (synthetic224.yml) sets model.dtype bfloat16, so the
+                      # downstream eval_cast re-truncates anyway
+                      "--mlp_idx", str(k), "--save_dtype", "bfloat16"],
                 s1b_log, env)
     # read each member's accuracy from its saved checkpoint metadata, not the
     # run log — a resumed run retrains only the missing members, so the log
