@@ -1,7 +1,18 @@
 """Minimal HTTP serving demo around ladine_tpu.infer.Predictor.
 
-POST /predict with a JSON body {"images": [[...HxWx3 floats in [0,1]...]]}
-returns {"probs": ..., "majority_vote": ..., "piw": ..., "mc_variance": ...}.
+POST /predict returns {"probs": ..., "majority_vote": ..., "piw": ...,
+"mc_variance": ...}. Two request encodings:
+
+- JSON: {"images": [[...BxHxWx3 floats in [0,1]...]]} — easy to poke by
+  hand, but a 224x224x3 image is ~1.5 MB of decimal text.
+- binary (Content-Type: application/octet-stream): the body is one .npy
+  array, BxHxWx3, float32 in [0,1] or uint8 0..255 (divided by 255
+  server-side) — 4x smaller again as uint8, and zero parse cost:
+      np.save(buf, batch); requests.post(url, data=buf.getvalue(),
+              headers={"Content-Type": "application/octet-stream"})
+  Send "Accept: application/octet-stream" to get the outputs back as one
+  .npz instead of JSON.
+
 GET /health returns the artifact geometry.
 
     python examples/serve_http.py --artifact ./artifact --port 8787
@@ -117,15 +128,40 @@ def main():
             else:
                 self._json(404, {"error": "GET /health or POST /predict"})
 
+        def _npz(self, out):
+            import io
+
+            buf = io.BytesIO()
+            np.savez(buf, **out)
+            body = buf.getvalue()
+            self.send_response(200)
+            self.send_header("Content-Type", "application/octet-stream")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
         def do_POST(self):
             if self.path != "/predict":
                 return self._json(404, {"error": "POST /predict"})
             try:
                 length = int(self.headers.get("Content-Length", 0))
-                payload = json.loads(self.rfile.read(length))
-                images = np.asarray(payload["images"], np.float32)
+                body = self.rfile.read(length)
+                ctype = self.headers.get("Content-Type", "application/json")
+                if ctype.startswith("application/octet-stream"):
+                    import io
+
+                    images = np.load(io.BytesIO(body), allow_pickle=False)
+                    if images.dtype == np.uint8:
+                        images = images.astype(np.float32) / 255.0
+                    else:
+                        images = np.asarray(images, np.float32)
+                else:
+                    images = np.asarray(json.loads(body)["images"], np.float32)
                 out = batcher.predict(images)
-                self._json(200, {k: v.tolist() for k, v in out.items()})
+                if "application/octet-stream" in self.headers.get("Accept", ""):
+                    self._npz(out)
+                else:
+                    self._json(200, {k: v.tolist() for k, v in out.items()})
             except (KeyError, TypeError, ValueError, json.JSONDecodeError) as e:
                 self._json(400, {"error": f"{type(e).__name__}: {e}"})
 
