@@ -108,6 +108,10 @@ def suite_dict(fast: bool) -> dict:
     suite = {
         "full": {},  # the PARITY workload: full 1000-step ancestral chain
         "d50": d50,  # the serving sampler
+        # step sweep: if accuracy/ECE/uncertainty hold at fewer steps, the
+        # serving preset can drop steps for a proportional throughput win
+        "d25": {"ddim_steps": 25, "ddim_eta": 1.0},
+        "d10": {"ddim_steps": 10, "ddim_eta": 1.0},
         "noise": {**d50, "noise_std": 0.1},
         "noise_hard": {**d50, "noise_std": 0.2},
         "contrast": {**d50, "contrast": 0.6},
@@ -120,7 +124,7 @@ def suite_dict(fast: bool) -> dict:
         "int8": {**d50, "use_int8": True},
     }
     if fast:
-        suite = {k: suite[k] for k in ("full", "d50", "noise", "atk_fgsm")}
+        suite = {k: suite[k] for k in ("full", "d50", "d10", "noise", "atk_fgsm")}
     return suite
 
 
@@ -486,6 +490,7 @@ def main():
     clean_full = row_report("full")
     clean_d50 = row_report("d50")
     clean_int8 = row_report("int8")
+    sweep = {n: r for n in ("d25", "d10") if (r := row_report(n)) is not None}
     corr = {n: r for n in CORRUPTION_ROWS if (r := row_report(n)) is not None}
     atk = {n.split("_")[1].upper(): r for n in ("atk_fgsm", "atk_pgd")
            if (r := row_report(n)) is not None}
@@ -542,6 +547,9 @@ def main():
     ]
     if clean_int8 is not None:
         lines.append(md_row("clean, DDIM-50, int8 eps matmuls (--int8)", clean_int8))
+    for name, r in sweep.items():
+        steps = name[1:]
+        lines.append(md_row(f"clean, DDIM-{steps} eta=1 (step sweep)", r))
     for name, r in corr.items():
         lines.append(md_row(f"corruption: {name}", r))
     for name, r in atk.items():
@@ -564,6 +572,9 @@ def main():
         "  epochs); the row demonstrates the --eval_ema path end-to-end.",
         "- Attack rows measure robustness of the nested ensemble to white-box",
         "  attacks on the ViT (the reference's test_atk protocol).",
+        "- The DDIM step-sweep rows (25/10) bound how far the serving preset",
+        "  can drop steps before accuracy/ECE degrade: each step removed is a",
+        "  proportional serving-throughput win (see bench.py ddim50 record).",
     ]
     # tiny smoke writes into the work dir, never over the real evidence
     out = os.path.join(w if args.tiny else REPO, "RESULTS.md")
