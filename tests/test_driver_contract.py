@@ -85,6 +85,10 @@ def test_dryrun_multichip_subprocess():
     env.pop("JAX_PLATFORMS", None)
     env["XLA_FLAGS"] = (env.get("XLA_FLAGS", "")
                         + " --xla_force_host_platform_device_count=8").strip()
+    # skip the 16-device subprocess variant: it recompiles every flagship
+    # program a second time (several minutes) and belongs to the driver's
+    # own dryrun invocation; this test pins the 8-device contract
+    env["LADINE_DRYRUN_SUB"] = "1"
     out = subprocess.run([sys.executable, "-c", code], capture_output=True,
                          text=True, cwd=REPO, timeout=560, env=env)
     assert out.returncode == 0, out.stderr[-2000:]
