@@ -10,6 +10,7 @@ the host batch loop, and nothing numerical.
 
 from __future__ import annotations
 
+import json
 import os
 import time
 from typing import Any, Dict, Iterable, Optional, Tuple
@@ -853,6 +854,14 @@ class Runner:
                                         {"kind": "aux_optimizer"})
                     best_ckpt_path = path
                     self.logger.info(f"saved best ckpt to {path}")
+        # host-side completion marker, written AFTER every device pull/save:
+        # drivers distinguish "training truly finished" from "a best ckpt
+        # exists" (saved mid-run) — a tunnel RPC that wedges during the final
+        # save leaves the marker absent (scripts/run_results.py done_check)
+        with open(os.path.join(self.log_dir, "train_complete.json"), "w") as f:
+            json.dump({"best_accuracy": best_acc, "steps": global_step,
+                       "epochs": epochs,
+                       "best_ckpt_path": best_ckpt_path}, f)
         return {"best_accuracy": best_acc, "steps": global_step,
                 "states": states, "guidance": gvars,
                 "best_ckpt_path": best_ckpt_path}

@@ -45,7 +45,17 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 STALL_TIMEOUT_S = 1800
 
 
-def sh(args, log_path, env=None, stall_timeout=STALL_TIMEOUT_S, retries=1):
+def sh(args, log_path, env=None, stall_timeout=STALL_TIMEOUT_S, retries=1,
+       done_check=None):
+    """Run one step; kill + retry on a silence stall (wedged tunnel RPC).
+
+    ``done_check``: optional zero-arg callable returning True when the
+    step's COMPLETED artifact exists. A wedge can strike at process EXIT,
+    *after* the artifact is fully written (observed round 3: member training
+    finished, best ckpt saved, then the final device_get slept forever) — in
+    that case killing the child and moving on is correct, and retrying
+    would redo a multi-hour step for nothing.
+    """
     for attempt in range(retries + 1):
         t0 = time.time()
         print(f"[run] {' '.join(args)}", file=sys.stderr)
@@ -75,10 +85,18 @@ def sh(args, log_path, env=None, stall_timeout=STALL_TIMEOUT_S, retries=1):
                 print(f"[run] step stalled ({stall_timeout}s of silence — "
                       f"wedged tunnel RPC?); attempt {attempt}",
                       file=sys.stderr)
+                if done_check is not None and done_check():
+                    print("[run] ... but the step's artifact is COMPLETE "
+                          "(wedge at exit); continuing", file=sys.stderr)
+                    return time.time() - t0
                 continue
         dt = time.time() - t0
         print(f"[run] rc={proc.returncode} ({dt:.0f}s)", file=sys.stderr)
         if proc.returncode != 0:
+            if done_check is not None and done_check():
+                print(f"[run] rc={proc.returncode} but the step's artifact "
+                      "is COMPLETE; continuing", file=sys.stderr)
+                return dt
             tail = open(log_path).read()[-3000:]
             raise RuntimeError(f"step failed (rc={proc.returncode}):\n{tail}")
         return dt
@@ -232,7 +250,8 @@ def run_real(args):
         rdir = os.path.join(exp, "logs", doc, "report.json")
         if not os.path.exists(rdir):
             sh(py + ["-m", "ladine_tpu.cli.main", *cpu, *extra, *common,
-                     "--doc", doc], log, env)
+                     "--doc", doc], log, env,
+               done_check=lambda: os.path.exists(rdir))
         return json.load(open(rdir))
 
     # ---- calibration (cached-sample Nelder-Mead on the val split) -------
@@ -250,7 +269,10 @@ def run_real(args):
     if missing:
         sh(py + ["-m", "ladine_tpu.cli.main", *cpu, "--test",
                  "--suite", suite_path, "--temperature", str(temp),
-                 *common, "--doc", "suite"], log, env)
+                 *common, "--doc", "suite"], log, env,
+           done_check=lambda: all(
+               os.path.exists(os.path.join(sdir, f"report_{n}.json"))
+               for n in missing))
 
     def row_report(name):
         p = os.path.join(sdir, f"report_{name}.json")
@@ -376,7 +398,9 @@ def main():
             py + ["-m", "ladine_tpu.cli.train_transformer", *cpu, *dims,
                   "--dataset", "ChestXRay", "--dataroot", ds,
                   "--epochs", str(e1), "--batch_size", "30", "--out", models],
-            s1a_log, env)
+            s1a_log, env,
+            done_check=lambda: os.path.exists(
+                os.path.join(vit_ckpt, "ladine_meta.json")))
     s1a = last_json(s1a_log) if os.path.exists(s1a_log) else None
 
     # ---- stage 1b ------------------------------------------------------
@@ -401,7 +425,9 @@ def main():
                       # (synthetic224.yml) sets model.dtype bfloat16, so the
                       # downstream eval_cast re-truncates anyway
                       "--mlp_idx", str(k), "--save_dtype", "bfloat16"],
-                s1b_log, env)
+                s1b_log, env,
+                done_check=lambda k=k: os.path.exists(os.path.join(
+                    mlp_dir, f"block_{k}", "ladine_meta.json")))
     # read each member's accuracy from its saved checkpoint metadata, not the
     # run log — a resumed run retrains only the missing members, so the log
     # holds a partial list
@@ -419,7 +445,8 @@ def main():
     if not (os.path.exists(g_log) and last_json(g_log)):
         sh(py + ["-m", "ladine_tpu.cli.main", *cpu, "--eval_guidance",
                  "--config", cfg, "--dataroot", ds, "--exp", exp, "--doc", "guid",
-                 "--vit_ckpt", vit_ckpt, "--mlp_ckpt_dir", mlp_dir], g_log, env)
+                 "--vit_ckpt", vit_ckpt, "--mlp_ckpt_dir", mlp_dir], g_log, env,
+           done_check=lambda: last_json(g_log) is not None)
     guid = last_json(g_log)
 
     # ---- stage 3: five members, one per invocation ----------------------
@@ -441,6 +468,13 @@ def main():
         doc = f"member{k}"
         ck = best_ckpt(doc)
         if ck is None:
+            # done = the runner's train_complete.json marker (written after
+            # EVERY save) plus a complete best ckpt: a tunnel wedge during
+            # the FINAL best-ckpt save (seen live, round 3: both attempts of
+            # one member trained to the last epoch then slept forever in the
+            # exit-path device pull) must not trigger a full retrain when
+            # training itself finished
+            marker = os.path.join(exp, "logs", doc, "train_complete.json")
             timings[f"stage3_m{k}_s"] = sh(
                 py + ["-m", "ladine_tpu.cli.main", *cpu, "--train",
                       "--config", cfg, "--dataroot", ds, "--exp", exp, "--doc", doc,
@@ -448,7 +482,9 @@ def main():
                       "--n_epochs", str(e3), "--precompute_guidance",
                       "--light_ckpt",
                       "--vit_ckpt", vit_ckpt, "--mlp_ckpt_dir", mlp_dir],
-                log, env)
+                log, env,
+                done_check=lambda doc=doc, m=marker: (
+                    os.path.exists(m) and best_ckpt(doc) is not None))
             ck = best_ckpt(doc)
         member_ckpts.append(ck)
 
@@ -460,7 +496,8 @@ def main():
         rdir = os.path.join(exp, "logs", doc, "report.json")
         if not os.path.exists(rdir):
             sh(py + ["-m", "ladine_tpu.cli.main", *cpu, *extra, *common,
-                     "--doc", doc], log, env)
+                     "--doc", doc], log, env,
+               done_check=lambda: os.path.exists(rdir))
         return json.load(open(rdir))
 
     # ---- calibration (DDIM-50, cached-sample Nelder-Mead) ---------------
@@ -481,7 +518,10 @@ def main():
     if missing:
         sh(py + ["-m", "ladine_tpu.cli.main", *cpu, "--test",
                  "--suite", suite_path, *tflag, *common, "--doc", "suite"],
-           log, env)
+           log, env,
+           done_check=lambda: all(
+               os.path.exists(os.path.join(sdir, f"report_{n}.json"))
+               for n in missing))
 
     def row_report(name):
         p = os.path.join(sdir, f"report_{name}.json")
