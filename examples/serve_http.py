@@ -151,8 +151,17 @@ def main():
                     import io
 
                     images = np.load(io.BytesIO(body), allow_pickle=False)
-                    if images.dtype == np.uint8:
-                        images = images.astype(np.float32) / 255.0
+                    if not isinstance(images, np.ndarray):
+                        # e.g. an .npz posted back (the response format)
+                        raise ValueError(
+                            "binary body must be a single .npy array, got "
+                            f"{type(images).__name__}")
+                    if images.dtype.kind in "ui":
+                        # integer payloads normalize by their dtype's max
+                        # (uint8 -> /255, uint16 medical scans -> /65535);
+                        # raw 0..max floats would saturate the model
+                        images = (images.astype(np.float32)
+                                  / float(np.iinfo(images.dtype).max))
                     else:
                         images = np.asarray(images, np.float32)
                 else:

@@ -739,6 +739,11 @@ class Runner:
         global_step = 0
         best_ckpt_path = None
         t0 = time.time()
+        # a marker from a PRIOR completed run in this log_dir must not
+        # satisfy a driver's done_check while this fresh run is partial
+        marker_path = os.path.join(self.log_dir, "train_complete.json")
+        if os.path.exists(marker_path):
+            os.remove(marker_path)
         for epoch in range(start_epoch, epochs):
             for batch in self.batches("train", c.training.batch_size, shuffle=True,
                                       seed=epoch, with_indices=precompute_yhat):
@@ -858,7 +863,7 @@ class Runner:
         # drivers distinguish "training truly finished" from "a best ckpt
         # exists" (saved mid-run) — a tunnel RPC that wedges during the final
         # save leaves the marker absent (scripts/run_results.py done_check)
-        with open(os.path.join(self.log_dir, "train_complete.json"), "w") as f:
+        with open(marker_path, "w") as f:
             json.dump({"best_accuracy": best_acc, "steps": global_step,
                        "epochs": epochs,
                        "best_ckpt_path": best_ckpt_path}, f)

@@ -261,12 +261,13 @@ def run_real(args):
     # ---- the robust-eval battery in ONE process -------------------------
     suite = suite_dict(args.fast)
     suite_path = os.path.join(w, "suite.json")
-    with open(suite_path, "w") as f:
-        json.dump(suite, f)
     sdir = os.path.join(exp, "logs", "suite")
     missing = [n for n in suite
                if not os.path.exists(os.path.join(sdir, f"report_{n}.json"))]
     if missing:
+        # only the missing rows: a resumed run must not redo completed ones
+        with open(suite_path, "w") as f:
+            json.dump({n: suite[n] for n in missing}, f)
         sh(py + ["-m", "ladine_tpu.cli.main", *cpu, "--test",
                  "--suite", suite_path, "--temperature", str(temp),
                  *common, "--doc", "suite"], log, env,
@@ -393,7 +394,10 @@ def main():
     # resumed run (a shared log's last JSON line belongs to a later stage)
     s1a_log = os.path.join(w, "stage1a.log")
     vit_ckpt = os.path.join(models, "vit_ChestXRay")
-    if not os.path.isdir(vit_ckpt):
+    # resume on the meta sidecar (written LAST), not bare dir existence: a
+    # save killed mid-write (stall-kill, disk full) leaves a partial dir
+    # that must be retrained, not skipped forever
+    if not os.path.exists(os.path.join(vit_ckpt, "ladine_meta.json")):
         timings["stage1a_s"] = sh(
             py + ["-m", "ladine_tpu.cli.train_transformer", *cpu, *dims,
                   "--dataset", "ChestXRay", "--dataroot", ds,
@@ -414,17 +418,19 @@ def main():
     # OOM-killed at ~130 GB RSS mid-run (round 3). Per-member processes
     # reset host memory; the bf16 snapshot pull keeps saves fast either way.
     # (--sequential remains available for local accelerators.)
+    # bf16 host pull is only numerically free when the downstream config
+    # casts the frozen guidance to bf16 (synthetic224.yml sets model.dtype
+    # bfloat16); the tiny config defaults to float32, so keep its saves exact
+    save_dtype = ["--save_dtype", "float32" if args.tiny else "bfloat16"]
     for k in range(5):
-        if not os.path.isdir(os.path.join(mlp_dir, f"block_{k}")):
+        if not os.path.exists(os.path.join(mlp_dir, f"block_{k}",
+                                           "ladine_meta.json")):
             timings[f"stage1b_m{k}_s"] = sh(
                 py + ["-m", "ladine_tpu.cli.train_mapping", *cpu, *dims,
                       *mlp_dims_flag, "--dataset", "ChestXRay", "--dataroot", ds,
                       "--epochs", str(e1), "--batch_size", "30", "--out", models,
                       "--vit_ckpt", vit_ckpt, "--num_members", "5",
-                      # bf16 host pull is safe here: the evidence config
-                      # (synthetic224.yml) sets model.dtype bfloat16, so the
-                      # downstream eval_cast re-truncates anyway
-                      "--mlp_idx", str(k), "--save_dtype", "bfloat16"],
+                      "--mlp_idx", str(k), *save_dtype],
                 s1b_log, env,
                 done_check=lambda k=k: os.path.exists(os.path.join(
                     mlp_dir, f"block_{k}", "ladine_meta.json")))
@@ -510,12 +516,15 @@ def main():
     # incrementally so a killed run keeps its completed rows.
     suite = suite_dict(args.fast)
     suite_path = os.path.join(w, "suite.json")
-    with open(suite_path, "w") as f:
-        json.dump(suite, f)
     sdir = os.path.join(exp, "logs", "suite")
     missing = [n for n in suite
                if not os.path.exists(os.path.join(sdir, f"report_{n}.json"))]
     if missing:
+        # hand the subprocess ONLY the missing rows: cli.main re-evaluates
+        # every row it is given, so a resumed run must not redo the
+        # hours-long completed ones (first run: missing == all rows)
+        with open(suite_path, "w") as f:
+            json.dump({n: suite[n] for n in missing}, f)
         sh(py + ["-m", "ladine_tpu.cli.main", *cpu, "--test",
                  "--suite", suite_path, *tflag, *common, "--doc", "suite"],
            log, env,

@@ -48,6 +48,10 @@ def server():
                 break
             except (urllib.error.URLError, ConnectionError):
                 if proc.poll() is not None or time.time() > deadline:
+                    # kill BEFORE reading: .read() on a live process's pipe
+                    # blocks until EOF, which never comes while it runs
+                    proc.kill()
+                    proc.wait()
                     out = proc.stdout.read().decode(errors="replace")
                     raise RuntimeError(f"server did not come up:\n{out[-2000:]}")
                 time.sleep(1)
@@ -112,8 +116,29 @@ def test_npy_uint8_normalized(server):
     assert (probs > 1e-4).all()
 
 
+def test_npy_uint16_normalized(server):
+    """Integer payloads normalize by their dtype max — a uint16 medical scan
+    must not hit the model as 0..65535 floats."""
+    imgs = (np.random.default_rng(3).random((2, 16, 16, 3)) * 65535).astype(np.uint16)
+    buf = io.BytesIO()
+    np.save(buf, imgs)
+    body, _ = _post(server, buf.getvalue(),
+                    {"Content-Type": "application/octet-stream"})
+    probs = np.asarray(json.loads(body)["probs"])
+    assert np.isfinite(probs).all() and (probs > 1e-4).all()
+
+
+def _npz_bytes():
+    buf = io.BytesIO()
+    np.savez(buf, images=np.zeros((1, 16, 16, 3), np.float32))
+    return buf.getvalue()
+
+
 @pytest.mark.parametrize("body,headers", [
     (b"not-an-npy", {"Content-Type": "application/octet-stream"}),
+    # an .npz posted back (the server's own response format) must 400, not
+    # crash the handler thread with an AttributeError
+    (_npz_bytes(), {"Content-Type": "application/octet-stream"}),
     (b"{\"wrong\": 1}", {"Content-Type": "application/json"}),
     (b"{not json", {"Content-Type": "application/json"}),
 ])
