@@ -378,15 +378,20 @@ def main():
     ancestral = run_inference(args, 0, args.eta, False, False, "ancestral")
     ddim50 = run_inference(args, 50, 1.0, False, False, "ddim50")
     int8 = run_inference(args, 50, 1.0, True, False, "ddim50-int8")
+    # fast serving preset: the full-dims evidence run (RESULTS.md step-sweep
+    # rows) measures DDIM-10 at accuracy/ECE parity with DDIM-50, so the
+    # 10-step program is a validated serving point, not a shortcut
+    ddim10 = run_inference(args, 10, 1.0, True, False, "ddim10-int8")
     train = train_bench(args)
     for rec, name in ((ddim50, "serving_ddim50_eta1"),
                       (int8, "serving_ddim50_int8"),
+                      (ddim10, "serving_ddim10_int8"),
                       (train, "train_step")):
         rec["name"] = name
     result = {
         **ancestral,
         "name": "ancestral_1000_parity_workload",
-        "extra_metrics": [ddim50, int8, train],
+        "extra_metrics": [ddim50, int8, ddim10, train],
     }
     print(json.dumps(result))
 

@@ -52,7 +52,7 @@ def test_bench_full_battery_contract():
     assert rec["name"] == "ancestral_1000_parity_workload"
     extras = {e["name"]: e for e in rec["extra_metrics"]}
     assert set(extras) == {"serving_ddim50_eta1", "serving_ddim50_int8",
-                           "train_step"}
+                           "serving_ddim10_int8", "train_step"}
     for e in extras.values():
         assert REQUIRED_KEYS <= set(e) and e["value"] > 0
     # the training metric carries its honest baseline range (floor vs
