@@ -26,6 +26,7 @@ import argparse
 import json
 import os
 import sys
+import zipfile
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -95,6 +96,9 @@ def main():
             if not meta:
                 ap.error(f"no predictor artifact at {args.artifact} "
                          "(ladine_meta.json missing)")
+            if "guidance" not in meta:
+                ap.error(f"{args.artifact} is not a predictor artifact "
+                         f"(kind: {meta.get('kind', 'unknown')})")
             hi = meta.get("head_indices")
             n_members = len(hi) if hi else meta["guidance"]["num_members"]
             mesh = make_mesh(len(jax.devices()), num_members=n_members)
@@ -156,14 +160,20 @@ def main():
                         raise ValueError(
                             "binary body must be a single .npy array, got "
                             f"{type(images).__name__}")
-                    if images.dtype.kind in "ui":
-                        # integer payloads normalize by their dtype's max
+                    if images.dtype.kind == "u":
+                        # unsigned payloads normalize by their dtype's max
                         # (uint8 -> /255, uint16 medical scans -> /65535);
                         # raw 0..max floats would saturate the model
                         images = (images.astype(np.float32)
                                   / float(np.iinfo(images.dtype).max))
-                    else:
+                    elif images.dtype.kind == "f":
                         images = np.asarray(images, np.float32)
+                    else:
+                        # signed ints (raw CT ranges etc.) have no obvious
+                        # normalization — make the client pick one
+                        raise ValueError(
+                            f"dtype {images.dtype} not supported: send "
+                            "float in [0,1] or unsigned int")
                 else:
                     images = np.asarray(json.loads(body)["images"], np.float32)
                 out = batcher.predict(images)
@@ -171,7 +181,9 @@ def main():
                     self._npz(out)
                 else:
                     self._json(200, {k: v.tolist() for k, v in out.items()})
-            except (KeyError, TypeError, ValueError, json.JSONDecodeError) as e:
+            except (KeyError, TypeError, ValueError, OSError,
+                    zipfile.BadZipFile, json.JSONDecodeError) as e:
+                # BadZipFile/OSError: np.load on corrupt zip-magic bodies
                 self._json(400, {"error": f"{type(e).__name__}: {e}"})
 
         def log_message(self, *a):

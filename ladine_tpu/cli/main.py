@@ -222,6 +222,12 @@ def main(argv=None) -> int:
     if args.noise_prior:
         cfg.diffusion.noise_prior = True
     if args.noise_prior_sample_only:
+        # only meaningful on top of the noise prior itself — alone it would
+        # silently change nothing, which defeats its weight-compat purpose
+        if not (args.noise_prior or cfg.diffusion.noise_prior):
+            raise SystemExit(
+                "--noise_prior_sample_only requires --noise_prior "
+                "(it selects WHERE the noise prior applies)")
         cfg.diffusion.noise_prior_training = False
     if args.no_cat_f_phi:
         cfg.diffusion.include_guidance = False
@@ -454,7 +460,7 @@ def main(argv=None) -> int:
                               "brier": rep["brier"]}
                 print(json.dumps({"suite_row": name, **rows[name]}),
                       file=sys.stderr)
-            result = {"mode": "suite", "rows": rows}
+            result = _json_sanitize({"mode": "suite", "rows": rows})
             with open(os.path.join(log_dir, "report.json"), "w") as f:
                 json.dump(result, f, indent=2)
             print(json.dumps(result))

@@ -216,6 +216,14 @@ def evaluate_ensemble(
         m, k, b, c = samples.shape
         all_samples.append(np.asarray(samples.reshape(m * k, b, c), np.float32))
         all_labels.append(np.asarray(labels))
+        # per-batch heartbeat: the host pull above is a sync point, so this
+        # prints at real progress — long evals must not be SILENT (drivers
+        # kill on silence as the wedged-tunnel-RPC signature, run_results.sh)
+        import logging
+
+        logging.getLogger("ladine_tpu").info(
+            "eval batch %d done (%d instances)", i, (i + 1) * b
+        )
 
     samples = np.concatenate(all_samples, axis=1)  # (S, N, C), member-major
     labels = np.concatenate(all_labels)

@@ -134,11 +134,21 @@ def _npz_bytes():
     return buf.getvalue()
 
 
+def _int16_npy():
+    buf = io.BytesIO()
+    np.save(buf, np.zeros((1, 16, 16, 3), np.int16))
+    return buf.getvalue()
+
+
 @pytest.mark.parametrize("body,headers", [
     (b"not-an-npy", {"Content-Type": "application/octet-stream"}),
     # an .npz posted back (the server's own response format) must 400, not
     # crash the handler thread with an AttributeError
     (_npz_bytes(), {"Content-Type": "application/octet-stream"}),
+    # corrupt zip-magic body: np.load raises BadZipFile, must still be a 400
+    (b"PK\x03\x04garbage", {"Content-Type": "application/octet-stream"}),
+    # signed ints have no defined normalization -> rejected, not guessed
+    (_int16_npy(), {"Content-Type": "application/octet-stream"}),
     (b"{\"wrong\": 1}", {"Content-Type": "application/json"}),
     (b"{not json", {"Content-Type": "application/json"}),
 ])
