@@ -97,6 +97,8 @@ def parse_args():
     ap.add_argument("--repeats", type=int, default=3)
     ap.add_argument("--pallas", action="store_true",
                     help="use the fully-fused Pallas eps kernel in the scan body")
+    ap.add_argument("--int8_encode", action="store_true",
+                    help="int8 enc_lin1 (fixed-cost lever at short --ddim)")
     ap.add_argument("--int8", action="store_true",
                     help="int8 weights+activations for the two big eps "
                          "matmuls (2x MXU OPS on v5e)")
@@ -232,6 +234,8 @@ def run_inference(args, ddim, eta, use_int8, use_pallas, label):
                                       mc_trials=K, tau=tau, eta=eta,
                                       use_pallas_eps=use_pallas,
                                       use_int8_eps=use_int8,
+                                      use_int8_encode=getattr(
+                                          args, "int8_encode", False),
                                       unroll=args.unroll)
 
     # compile + warmup
@@ -365,7 +369,8 @@ def main():
     args = parse_args()
     _setup_platform(args)
 
-    focused = (args.tiny or args.train or args.ddim or args.int8 or args.pallas) and not args.full
+    focused = (args.tiny or args.train or args.ddim or args.int8
+               or args.int8_encode or args.pallas) and not args.full
     if args.train and not args.full:
         print(json.dumps(train_bench(args)))
         return

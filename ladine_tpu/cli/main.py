@@ -167,6 +167,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="with --test/--calib: int8 weights+activations for "
                         "the two big eps matmuls (kernels/int8.py; "
                         "EXPERIMENTAL — compare metrics against bf16)")
+    p.add_argument("--int8_encode", action="store_true",
+                   help="with --test/--calib: int8 enc_lin1 (the per-image "
+                        "encode's 1.2 GB weight stream; the fixed-cost lever "
+                        "at short --ddim schedules; kernels/int8.py)")
     p.add_argument("--fsdp", action="store_true",
                    help="shard params/optimizer state/EMA over the data axis "
                         "(full-size all-member training state exceeds one chip)")
@@ -265,6 +269,7 @@ def main(argv=None) -> int:
         skip_type=cfg.diffusion.skip_type,
         noise_prior=cfg.diffusion.noise_prior,
         use_int8=args.int8,
+        use_int8_encode=args.int8_encode,
     )
 
     if args.eval_guidance:

@@ -51,6 +51,7 @@ def member_mc_sample(
     eta: float = 0.0,
     use_pallas_eps: bool = False,
     use_int8_eps: bool = False,
+    use_int8_encode: bool = False,
     unroll: int = 1,
     noise_prior: bool = False,
 ) -> jnp.ndarray:
@@ -66,7 +67,16 @@ def member_mc_sample(
     XLA path sustains ~72% bf16 peak and the Pallas path is ~4x slower
     (vmap over members fragments the kernel grid), so the default is off.
     """
-    f = model.apply(member_vars, x_flat, method="encode")
+    if use_int8_encode and model.arch == "linear":
+        # int8 enc_lin1 (the 1.2 GB weight stream that dominates the
+        # per-image fixed cost at short DDIM schedules); rel err ~5e-4
+        from ladine_tpu.kernels.int8 import int8_encode, quantize_encoder
+
+        qe = quantize_encoder(member_vars)
+        w_dtype = member_vars["params"]["enc_lin3"]["Dense_0"]["kernel"].dtype
+        f = int8_encode(qe, x_flat).astype(w_dtype)
+    else:
+        f = model.apply(member_vars, x_flat, method="encode")
     y_T_mean = jnp.zeros_like(y0_hat) if noise_prior else y0_hat
 
     if use_int8_eps:
@@ -108,6 +118,7 @@ def nested_ensemble_sample(
     eta: float = 0.0,
     use_pallas_eps: bool = False,
     use_int8_eps: bool = False,
+    use_int8_encode: bool = False,
     unroll: int = 1,
     noise_prior: bool = False,
 ) -> jnp.ndarray:
@@ -134,6 +145,7 @@ def nested_ensemble_sample(
         eta=eta,
         use_pallas_eps=use_pallas_eps,
         use_int8_eps=use_int8_eps,
+        use_int8_encode=use_int8_encode,
         unroll=unroll,
         noise_prior=noise_prior,
     )

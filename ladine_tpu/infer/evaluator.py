@@ -77,6 +77,9 @@ class EvalConfig:
     unroll: int = 1  # reverse-scan unroll factor
     # int8 weights+activations for the two big eps matmuls (kernels/int8.py)
     use_int8: bool = False
+    # int8 enc_lin1 — the per-image encode's 1.2 GB weight stream; matters
+    # at short DDIM schedules where the fixed cost dominates (kernels/int8.py)
+    use_int8_encode: bool = False
 
 
 def make_eval_pipeline(
@@ -147,6 +150,7 @@ def make_eval_pipeline(
             model, vars_run, x_flat, y0_hat, k_sample, sched,
             mc_trials=cfg.mc_trials, tau=tau, eta=cfg.ddim_eta, unroll=cfg.unroll,
             noise_prior=cfg.noise_prior, use_int8_eps=cfg.use_int8,
+            use_int8_encode=cfg.use_int8_encode,
         )
 
     if mesh is None:

@@ -50,6 +50,7 @@ class Predictor:
     skip_type: str = "uniform"  # strided timestep spacing: uniform | quad
     noise_prior: bool = False  # zero prior mean at T (reference --noise_prior)
     use_int8: bool = False
+    use_int8_encode: bool = False  # int8 enc_lin1 (see EvalConfig)
     seed: int = 0
     # which guidance heads condition the stacked members; None = heads
     # 0..n_stacked-1 (set to e.g. (2,) for a single-member --mlp_idx artifact)
@@ -100,6 +101,7 @@ class Predictor:
                 self.model, stacked, x_flat, y0_hat, key, self.sched,
                 mc_trials=self.mc_trials, tau=self._tau, eta=self.ddim_eta,
                 use_int8_eps=self.use_int8, noise_prior=self.noise_prior,
+                use_int8_encode=self.use_int8_encode,
             )
             m, k, b, c = samples.shape
             flat = samples.reshape(m * k, b, c)
@@ -195,6 +197,7 @@ class Predictor:
             "skip_type": self.skip_type,
             "noise_prior": self.noise_prior,
             "use_int8": self.use_int8,
+            "use_int8_encode": self.use_int8_encode,
             "head_indices": list(self.head_indices) if self.head_indices else None,
             "guidance": {
                 "num_classes": self.guidance.num_classes,
@@ -269,6 +272,7 @@ class Predictor:
             skip_type=meta.get("skip_type", "uniform"),
             noise_prior=meta.get("noise_prior", False),
             use_int8=meta["use_int8"],
+            use_int8_encode=meta.get("use_int8_encode", False),
             head_indices=tuple(hi) if hi else None,
         )
         kwargs.update(overrides)

@@ -109,3 +109,52 @@ def int8_eps(
 
     dense4 = params["lin4"]["Dense_0"]
     return jnp.dot(h, dense4["kernel"], preferred_element_type=jnp.float32) + dense4["bias"]
+
+
+def quantize_encoder(variables: Any) -> Any:
+    """Pre-quantize enc_lin1 — the 150528 x 4096 GEMM that dominates the
+    per-image encode (~1.2 GB bf16 weight stream; >97% of encode FLOPs).
+    enc_lin2/enc_lin3 (16M / small) stay fp32. Returns variables with an
+    'int8_enc' entry; feed to ``int8_encode``."""
+    w = variables["params"]["enc_lin1"]["Dense_0"]["kernel"]
+    w_q, scale = quantize_weight(jnp.asarray(w, jnp.float32))
+    return {**variables, "int8_enc": (w_q, scale)}
+
+
+def _bn_eval_affine(dense_bias, bn_params, bn_stats):
+    """Fold (dense bias, eval BatchNorm) into a per-channel (a, c):
+    bn(x @ W + b) = (x @ W) * a + c."""
+    from ladine_tpu.kernels.fused_eps import _BN_EPS
+
+    inv = bn_params["scale"] / jnp.sqrt(bn_stats["var"] + _BN_EPS)
+    a = inv
+    c = (dense_bias - bn_stats["mean"]) * inv + bn_params["bias"]
+    return a, c
+
+
+def int8_encode(qvars: Any, x: jnp.ndarray) -> jnp.ndarray:
+    """ConditionalModel.encode (arch 'linear', eval BN) with int8 enc_lin1.
+
+    Symmetric per-row activation quantization — grayscaled inputs are
+    [0, 1] but the 'standardized' preprocess can go negative, so no
+    zero-point trick here. Mirrors models/conditional.py:151-168.
+    """
+    params = qvars["params"]
+    stats = qvars["batch_stats"]
+    w_q, w_scale = qvars["int8_enc"]
+
+    a1, c1 = _bn_eval_affine(params["enc_lin1"]["Dense_0"]["bias"],
+                             params["enc_bn1"], stats["enc_bn1"])
+    h = jax.nn.softplus(int8_matmul(x, w_q, w_scale) * a1 + c1)
+
+    d2 = params["enc_lin2"]["Dense_0"]
+    a2, c2 = _bn_eval_affine(d2["bias"], params["enc_bn2"], stats["enc_bn2"])
+    h = jax.nn.softplus(
+        jnp.dot(h, d2["kernel"], preferred_element_type=jnp.float32) * a2 + c2
+    )
+
+    d3 = params["enc_lin3"]["Dense_0"]
+    h = jnp.dot(h, d3["kernel"], preferred_element_type=jnp.float32) + d3["bias"]
+    an, cn = _bn_eval_affine(jnp.zeros_like(params["norm"]["bias"]),
+                             params["norm"], stats["norm"])
+    return h * an + cn

@@ -62,3 +62,30 @@ def test_int8_sampler_runs(cm):
     fp_votes = np.asarray(jnp.argmax(fp, -1))
     q_votes = np.asarray(jnp.argmax(q, -1))
     assert (fp_votes == q_votes).mean() > 0.8
+
+
+def test_int8_encode_close_to_fp(cm):
+    """int8 enc_lin1 (the fixed-cost lever at short DDIM schedules) must
+    match the fp32 encode to quantization precision."""
+    from ladine_tpu.kernels.int8 import int8_encode, quantize_encoder
+
+    model, v, x, y, yhat = cm
+    ref = model.apply(v, x, method="encode")
+    got = int8_encode(quantize_encoder(v), x)
+    cos = float(jnp.sum(got * ref)
+                / (jnp.linalg.norm(got) * jnp.linalg.norm(ref)))
+    assert cos > 0.999, f"int8 encode cosine {cos:.5f}"
+    err = float(jnp.abs(got - ref).mean() / (jnp.abs(ref).mean() + 1e-8))
+    assert err < 0.05, f"int8 encode relative error {err:.4f}"
+
+
+def test_int8_encode_sampler_votes_agree(cm):
+    model, v, x, y, yhat = cm
+    sched = DiffusionSchedule.create("linear", 10, 1e-4, 0.02)
+    fp = member_mc_sample(model, v, x, yhat, jax.random.PRNGKey(9), sched, 4)
+    q = member_mc_sample(model, v, x, yhat, jax.random.PRNGKey(9), sched, 4,
+                         use_int8_encode=True)
+    assert np.isfinite(np.asarray(q)).all()
+    fp_votes = np.asarray(jnp.argmax(fp, -1))
+    q_votes = np.asarray(jnp.argmax(q, -1))
+    assert (fp_votes == q_votes).mean() > 0.8
