@@ -138,7 +138,17 @@ def make_eval_pipeline(
             needed = tuple(cfg.head_indices)
         else:
             needed = tuple(range(num_members))
-        heads = guidance.apply(gvars, images, needed, method="heads_subset")
+        if cfg.use_int8_encode and all(
+            int(i) < int(guidance.num_members) for i in needed
+        ):
+            # int8 first layers for the mapping heads too (the guidance's
+            # share of the per-image fixed cost; kernels/int8.py)
+            from ladine_tpu.kernels.int8 import int8_mapping_heads
+
+            taps = guidance.apply(gvars, images, needed, method="taps_subset")
+            heads = int8_mapping_heads(gvars["params"], taps, needed)
+        else:
+            heads = guidance.apply(gvars, images, needed, method="heads_subset")
         y0_hat = jax.nn.softmax(heads.astype(jnp.float32), axis=-1)
         vars_run = stacked_vars
         if cfg.selected_members is not None:

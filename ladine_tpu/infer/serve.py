@@ -93,8 +93,24 @@ class Predictor:
                 f"has {n_heads} heads (0..{n_heads - 1})"
             )
 
+        # --int8_encode also covers the guidance's mapping-head first layers
+        # (the other half of the per-image fixed cost) when every
+        # conditioning head is a mapping head (always true unless the
+        # artifact conditions on the full-ViT head)
+        int8_heads = self.use_int8_encode and all(
+            int(i) < int(self.guidance.num_members) for i in idx
+        )
+
         def _raw(gvars, stacked, images, key):
-            heads = self.guidance.apply(gvars, images, idx, method="heads_subset")
+            if int8_heads:
+                from ladine_tpu.kernels.int8 import int8_mapping_heads
+
+                taps = self.guidance.apply(gvars, images, idx,
+                                           method="taps_subset")
+                heads = int8_mapping_heads(gvars["params"], taps, idx)
+            else:
+                heads = self.guidance.apply(gvars, images, idx,
+                                            method="heads_subset")
             y0_hat = jax.nn.softmax(heads.astype(jnp.float32), axis=-1)
             x_flat = images.reshape(images.shape[0], -1)
             samples = nested_ensemble_sample(

@@ -158,3 +158,35 @@ def int8_encode(qvars: Any, x: jnp.ndarray) -> jnp.ndarray:
     an, cn = _bn_eval_affine(jnp.zeros_like(params["norm"]["bias"]),
                              params["norm"], stats["norm"])
     return h * an + cn
+
+
+def int8_mapping_heads(gparams: Any, taps: jnp.ndarray, mlp_ids) -> jnp.ndarray:
+    """Mapping-MLP heads with int8 first layers: (len(ids), B, C) logits.
+
+    Each head's linear1 (196*768 -> 4096, ~1.23 GB bf16 per member) is the
+    guidance's weight-streaming floor at serving time; linear2..4 (8/0.5/0
+    MB) stay fp32. ``taps`` is (len(ids), B, 196, embed) from
+    SEViTGuidance.taps_subset (same order as ``mlp_ids``). ViT token
+    features are signed -> symmetric activation quantization. Mirrors
+    models/mlp.py MappingMLP (ReLU, no dropout — the reference's live
+    behavior).
+    """
+    outs = []
+    for tap, i in zip(taps, mlp_ids):
+        p = gparams[f"mlp{i}"]
+        x = tap.reshape(tap.shape[0], -1).astype(jnp.float32)
+        d1 = p["linear1"]["Dense_0"]
+        w_q, w_scale = quantize_weight(jnp.asarray(d1["kernel"], jnp.float32))
+        x = jax.nn.relu(int8_matmul(x, w_q, w_scale) + d1["bias"])
+        layer = 2
+        while f"linear{layer + 1}" in p:  # hidden layers: ReLU
+            d = p[f"linear{layer}"]["Dense_0"]
+            x = jax.nn.relu(
+                jnp.dot(x, d["kernel"], preferred_element_type=jnp.float32)
+                + d["bias"]
+            )
+            layer += 1
+        d = p[f"linear{layer}"]["Dense_0"]  # output layer: logits
+        x = jnp.dot(x, d["kernel"], preferred_element_type=jnp.float32) + d["bias"]
+        outs.append(x)
+    return jnp.stack(outs, axis=0)

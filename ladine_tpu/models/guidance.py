@@ -92,6 +92,25 @@ class SEViTGuidance(nn.Module):
         taps = self.vit.tap_features(x, depths)
         return self._mlp_heads(taps)
 
+    def taps_subset(self, x: jnp.ndarray, indices) -> jnp.ndarray:
+        """ViT tap features for the requested MAPPING heads only:
+        (len(indices), B, 196, embed_dim), in the given order.
+
+        The transformer half of ``heads_subset`` without the mapping MLPs —
+        for callers that run the MLP GEMMs outside flax (the int8
+        fixed-cost path, kernels/int8.py int8_mapping_heads)."""
+        indices = tuple(int(i) for i in indices)
+        for i in indices:
+            if not 0 <= i < self.num_members:
+                raise ValueError(
+                    f"taps_subset takes mapping head ids 0..{self.num_members - 1}, "
+                    f"got {i} (the full-ViT head has no tap)"
+                )
+        mlp_ids = sorted(set(indices))
+        taps = self.vit.tap_features(x, tuple(i + 1 for i in mlp_ids))
+        by_id = dict(zip(mlp_ids, taps))
+        return jnp.stack([by_id[i] for i in indices], axis=0)
+
     def heads_subset(self, x: jnp.ndarray, indices) -> jnp.ndarray:
         """Only the requested guidance heads: (len(indices), B, C), in the
         given order. ``indices`` is a STATIC tuple of head ids (0..K-1 =

@@ -89,3 +89,51 @@ def test_int8_encode_sampler_votes_agree(cm):
     fp_votes = np.asarray(jnp.argmax(fp, -1))
     q_votes = np.asarray(jnp.argmax(q, -1))
     assert (fp_votes == q_votes).mean() > 0.8
+
+
+def test_int8_mapping_heads_close():
+    from ladine_tpu.kernels.int8 import int8_mapping_heads
+    from ladine_tpu.models import SEViTGuidance
+
+    g = SEViTGuidance(num_classes=2, num_members=4, vit_depth=5, img_size=16,
+                      patch_size=8, embed_dim=16, num_heads=2,
+                      mlp_hidden_dims=(32, 16, 8))
+    gv = g.init(jax.random.PRNGKey(0), jnp.zeros((1, 16, 16, 3)))
+    x = jax.random.uniform(jax.random.PRNGKey(1), (6, 16, 16, 3))
+    for ids in ((0, 2, 3), (3, 0, 0)):  # sorted, unsorted+repeated
+        ref = g.apply(gv, x, ids, method="heads_subset")
+        taps = g.apply(gv, x, ids, method="taps_subset")
+        got = int8_mapping_heads(gv["params"], taps, ids)
+        err = float(jnp.abs(got - ref).mean() / (jnp.abs(ref).mean() + 1e-8))
+        assert got.shape == ref.shape and err < 0.05, (ids, err)
+
+
+def test_predictor_int8_encode_votes_agree():
+    """Predictor(use_int8_encode=True) end-to-end: same keys, votes agree
+    with the fp32 predictor (quantization rel err ~1e-3 per GEMM)."""
+    import numpy as np2
+
+    from ladine_tpu.infer import Predictor, stack_members
+    from ladine_tpu.models import SEViTGuidance
+
+    g = SEViTGuidance(num_classes=2, num_members=3, vit_depth=3, img_size=16,
+                      patch_size=8, embed_dim=16, num_heads=2,
+                      mlp_hidden_dims=(16, 8, 8))
+    gv = g.init(jax.random.PRNGKey(0), jnp.zeros((1, 16, 16, 3)))
+    m = ConditionalModel(data_dim=768, feature_dim=8, hidden_dim=8, y_dim=2,
+                         n_steps=11)
+    members = [m.init(jax.random.PRNGKey(5 + i), jnp.zeros((1, 768)),
+                      jnp.zeros((1, 2)), jnp.asarray(0), jnp.full((1, 2), .5))
+               for i in range(3)]
+    sched = DiffusionSchedule.create("linear", 10, 1e-4, 0.02)
+    common = dict(guidance=g, guidance_vars=gv, model=m,
+                  stacked_vars=stack_members(members), sched=sched,
+                  mc_trials=2, ddim_steps=5)
+    imgs = np2.random.default_rng(0).random((6, 16, 16, 3)).astype(np2.float32)
+    a = Predictor(**common).predict(imgs, key=jax.random.PRNGKey(3))
+    b = Predictor(**common, use_int8_encode=True).predict(
+        imgs, key=jax.random.PRNGKey(3))
+    assert np2.isfinite(b["probs"]).all()
+    np2.testing.assert_allclose(a["probs"], b["probs"], atol=0.05)
+    assert (np2.asarray(a["majority_vote"]) ==
+            np2.asarray(b["majority_vote"])).mean() >= 0.8
