@@ -146,7 +146,7 @@ def make_eval_pipeline(
             from ladine_tpu.kernels.int8 import int8_mapping_heads
 
             taps = guidance.apply(gvars, images, needed, method="taps_subset")
-            heads = int8_mapping_heads(gvars["params"], taps, needed)
+            heads = int8_mapping_heads(gvars, taps, needed)
         else:
             heads = guidance.apply(gvars, images, needed, method="heads_subset")
         y0_hat = jax.nn.softmax(heads.astype(jnp.float32), axis=-1)

@@ -100,6 +100,22 @@ class Predictor:
         int8_heads = self.use_int8_encode and all(
             int(i) < int(self.guidance.num_members) for i in idx
         )
+        # run trees: what the jitted program actually receives. With
+        # int8_encode they carry PRE-quantized int8 lin1 kernels (computed
+        # once HERE, outside jit — quantizing inside the program re-reads
+        # the full bf16 weight every call and wins nothing); save() keeps
+        # serializing the untouched float originals.
+        self._rv_g, self._rv_s = self.guidance_vars, self.stacked_vars
+        if self.use_int8_encode:
+            from ladine_tpu.kernels.int8 import (
+                quantize_encoder,
+                quantize_mapping_heads,
+            )
+
+            if self.model.arch == "linear":
+                self._rv_s = jax.vmap(quantize_encoder)(self.stacked_vars)
+            if int8_heads:
+                self._rv_g = quantize_mapping_heads(self.guidance_vars, idx)
 
         def _raw(gvars, stacked, images, key):
             if int8_heads:
@@ -107,7 +123,7 @@ class Predictor:
 
                 taps = self.guidance.apply(gvars, images, idx,
                                            method="taps_subset")
-                heads = int8_mapping_heads(gvars["params"], taps, idx)
+                heads = int8_mapping_heads(gvars, taps, idx)
             else:
                 heads = self.guidance.apply(gvars, images, idx,
                                             method="heads_subset")
@@ -141,17 +157,18 @@ class Predictor:
             rep = NamedSharding(self.mesh, P())
             # resident layout: member-sharded ensemble, replicated guidance —
             # done ONCE here so every predict() reuses the distributed copy
-            self.stacked_vars = jax.tree.map(
-                lambda x: jax.device_put(x, member), self.stacked_vars
+            # (the RUN trees, which carry the int8 weights when enabled)
+            self._rv_s = jax.tree.map(
+                lambda x: jax.device_put(x, member), self._rv_s
             )
-            self.guidance_vars = jax.tree.map(
-                lambda x: jax.device_put(x, rep), self.guidance_vars
+            self._rv_g = jax.tree.map(
+                lambda x: jax.device_put(x, rep), self._rv_g
             )
             sharded = jax.jit(
                 _raw,
                 in_shardings=(
-                    jax.tree.map(lambda _: rep, self.guidance_vars),
-                    jax.tree.map(lambda _: member, self.stacked_vars),
+                    jax.tree.map(lambda _: rep, self._rv_g),
+                    jax.tree.map(lambda _: member, self._rv_s),
                     data,
                     rep,
                 ),
@@ -190,7 +207,7 @@ class Predictor:
         if key is None:
             key = jax.random.fold_in(jax.random.PRNGKey(self.seed), next(self._counter))
         probs, mv, piw, var = self._run(
-            self.guidance_vars, self.stacked_vars, jnp.asarray(images), key
+            self._rv_g, self._rv_s, jnp.asarray(images), key
         )
         return {
             "probs": np.asarray(probs),

@@ -113,12 +113,29 @@ def int8_eps(
 
 def quantize_encoder(variables: Any) -> Any:
     """Pre-quantize enc_lin1 — the 150528 x 4096 GEMM that dominates the
-    per-image encode (~1.2 GB bf16 weight stream; >97% of encode FLOPs).
-    enc_lin2/enc_lin3 (16M / small) stay fp32. Returns variables with an
-    'int8_enc' entry; feed to ``int8_encode``."""
+    per-image encode (~1.2 GB bf16 weight stream; >97% of encode FLOPs) —
+    REPLACING the float kernel with its int8 form (+ an 'int8_enc'
+    scale collection). enc_lin2/enc_lin3 (16M / small) stay fp32.
+
+    Do this ONCE, OUTSIDE jit, and keep the result resident: quantizing
+    inside the jitted program re-reads the full bf16 weight every call, so
+    it can never reduce weight HBM traffic (``int8_encode`` supports the
+    in-jit fallback for convenience, but the resident-int8 form is the one
+    that's actually faster)."""
+    import copy
+
     w = variables["params"]["enc_lin1"]["Dense_0"]["kernel"]
     w_q, scale = quantize_weight(jnp.asarray(w, jnp.float32))
-    return {**variables, "int8_enc": (w_q, scale)}
+    out = dict(variables)
+    out["params"] = copy.copy(variables["params"])
+    out["params"]["enc_lin1"] = {
+        "Dense_0": {
+            "kernel": w_q,
+            "bias": variables["params"]["enc_lin1"]["Dense_0"]["bias"],
+        }
+    }
+    out["int8_enc"] = {"scale": scale}
+    return out
 
 
 def _bn_eval_affine(dense_bias, bn_params, bn_stats):
@@ -141,7 +158,15 @@ def int8_encode(qvars: Any, x: jnp.ndarray) -> jnp.ndarray:
     """
     params = qvars["params"]
     stats = qvars["batch_stats"]
-    w_q, w_scale = qvars["int8_enc"]
+    w = params["enc_lin1"]["Dense_0"]["kernel"]
+    if w.dtype == jnp.int8:
+        # pre-quantized resident weight (quantize_encoder) — the form that
+        # actually halves the weight stream
+        w_q, w_scale = w, qvars["int8_enc"]["scale"]
+    else:
+        # in-jit fallback: numerically identical, but reads the float
+        # weight anyway — convenience only, no bandwidth win
+        w_q, w_scale = quantize_weight(jnp.asarray(w, jnp.float32))
 
     a1, c1 = _bn_eval_affine(params["enc_lin1"]["Dense_0"]["bias"],
                              params["enc_bn1"], stats["enc_bn1"])
@@ -160,7 +185,27 @@ def int8_encode(qvars: Any, x: jnp.ndarray) -> jnp.ndarray:
     return h * an + cn
 
 
-def int8_mapping_heads(gparams: Any, taps: jnp.ndarray, mlp_ids) -> jnp.ndarray:
+def quantize_mapping_heads(gvars: Any, mlp_ids) -> Any:
+    """Pre-quantize the requested mapping heads' linear1 kernels IN PLACE
+    (int8 kernel + 'int8_mlp_scale' collection). Same resident-vs-in-jit
+    rationale as ``quantize_encoder``; do once, outside jit."""
+    import copy
+
+    out = dict(gvars)
+    out["params"] = copy.copy(gvars["params"])
+    scales = dict(out.get("int8_mlp_scale", {}))
+    for i in sorted({int(i) for i in mlp_ids}):
+        p = copy.copy(out["params"][f"mlp{i}"])
+        d1 = p["linear1"]["Dense_0"]
+        w_q, scale = quantize_weight(jnp.asarray(d1["kernel"], jnp.float32))
+        p["linear1"] = {"Dense_0": {"kernel": w_q, "bias": d1["bias"]}}
+        out["params"][f"mlp{i}"] = p
+        scales[f"mlp{i}"] = scale
+    out["int8_mlp_scale"] = scales
+    return out
+
+
+def int8_mapping_heads(gvars: Any, taps: jnp.ndarray, mlp_ids) -> jnp.ndarray:
     """Mapping-MLP heads with int8 first layers: (len(ids), B, C) logits.
 
     Each head's linear1 (196*768 -> 4096, ~1.23 GB bf16 per member) is the
@@ -169,14 +214,20 @@ def int8_mapping_heads(gparams: Any, taps: jnp.ndarray, mlp_ids) -> jnp.ndarray:
     SEViTGuidance.taps_subset (same order as ``mlp_ids``). ViT token
     features are signed -> symmetric activation quantization. Mirrors
     models/mlp.py MappingMLP (ReLU, no dropout — the reference's live
-    behavior).
+    behavior). Accepts either the full guidance variables or just params
+    (back-compat); kernels pre-quantized by ``quantize_mapping_heads`` are
+    used as-is, float kernels are quantized in-jit (no bandwidth win).
     """
+    gparams = gvars.get("params", gvars)
     outs = []
     for tap, i in zip(taps, mlp_ids):
         p = gparams[f"mlp{i}"]
         x = tap.reshape(tap.shape[0], -1).astype(jnp.float32)
         d1 = p["linear1"]["Dense_0"]
-        w_q, w_scale = quantize_weight(jnp.asarray(d1["kernel"], jnp.float32))
+        if d1["kernel"].dtype == jnp.int8:
+            w_q, w_scale = d1["kernel"], gvars["int8_mlp_scale"][f"mlp{i}"]
+        else:
+            w_q, w_scale = quantize_weight(jnp.asarray(d1["kernel"], jnp.float32))
         x = jax.nn.relu(int8_matmul(x, w_q, w_scale) + d1["bias"])
         layer = 2
         while f"linear{layer + 1}" in p:  # hidden layers: ReLU

@@ -137,3 +137,41 @@ def test_predictor_int8_encode_votes_agree():
     np2.testing.assert_allclose(a["probs"], b["probs"], atol=0.05)
     assert (np2.asarray(a["majority_vote"]) ==
             np2.asarray(b["majority_vote"])).mean() >= 0.8
+
+
+def test_predictor_int8_encode_prequantizes_and_saves_float(tmp_path):
+    """use_int8_encode pre-quantizes the RUN trees once at init (resident
+    int8 lin1 kernels — in-jit quantization would re-read the float weight
+    every call and win nothing), while save() keeps the float originals."""
+    import numpy as np2
+
+    from ladine_tpu.infer import Predictor, stack_members
+    from ladine_tpu.models import SEViTGuidance
+
+    g = SEViTGuidance(num_classes=2, num_members=3, vit_depth=3, img_size=16,
+                      patch_size=8, embed_dim=16, num_heads=2,
+                      mlp_hidden_dims=(16, 8, 8))
+    gv = g.init(jax.random.PRNGKey(0), jnp.zeros((1, 16, 16, 3)))
+    m = ConditionalModel(data_dim=768, feature_dim=8, hidden_dim=8, y_dim=2,
+                         n_steps=11)
+    members = [m.init(jax.random.PRNGKey(5 + i), jnp.zeros((1, 768)),
+                      jnp.zeros((1, 2)), jnp.asarray(0), jnp.full((1, 2), .5))
+               for i in range(3)]
+    sched = DiffusionSchedule.create("linear", 10, 1e-4, 0.02)
+    p = Predictor(guidance=g, guidance_vars=gv, model=m,
+                  stacked_vars=stack_members(members), sched=sched,
+                  mc_trials=2, ddim_steps=5, use_int8_encode=True)
+    # resident run trees carry int8 lin1 kernels
+    assert p._rv_s["params"]["enc_lin1"]["Dense_0"]["kernel"].dtype == jnp.int8
+    assert p._rv_g["params"]["mlp0"]["linear1"]["Dense_0"]["kernel"].dtype == jnp.int8
+    # public trees untouched (what save() serializes)
+    assert p.stacked_vars["params"]["enc_lin1"]["Dense_0"]["kernel"].dtype != jnp.int8
+    path = str(tmp_path / "a")
+    p.save(path)
+    loaded = Predictor.load(path)
+    assert loaded.use_int8_encode  # persisted
+    k = loaded.stacked_vars["params"]["enc_lin1"]["Dense_0"]["kernel"]
+    assert k.dtype != jnp.int8  # float weights round-tripped
+    imgs = np2.random.default_rng(1).random((4, 16, 16, 3)).astype(np2.float32)
+    out = loaded.predict(imgs, key=jax.random.PRNGKey(2))
+    assert np2.isfinite(out["probs"]).all()

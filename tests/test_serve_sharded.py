@@ -72,7 +72,9 @@ def test_load_with_mesh(parts, tmp_path):
     loaded = Predictor.load(path, mesh=mesh)
     assert loaded.mesh is mesh
     # members landed member-sharded (not replicated)
-    leaf = jax.tree.leaves(loaded.stacked_vars)[0]
+    # the RUN tree (what the jitted program receives) landed member-sharded;
+    # the public stacked_vars stays the untouched save()-able original
+    leaf = jax.tree.leaves(loaded._rv_s)[0]
     assert not leaf.sharding.is_fully_replicated
     images = np.random.default_rng(2).random((4, 16, 16, 3)).astype(np.float32)
     key = jax.random.PRNGKey(5)
