@@ -365,8 +365,41 @@ def train_bench(args):
     return record
 
 
+def _preflight_device(timeout_s: float = 180.0) -> None:
+    """Fail FAST with a diagnostic record if the accelerator backend is
+    unreachable. A dead remote-TPU tunnel makes jax.devices() block forever
+    in the main process (relay death, docs/OPERATIONS.md failure modes) —
+    probing in a subprocess turns an indefinite driver hang into one JSON
+    error line and a nonzero exit."""
+    import subprocess
+    import sys as _sys
+
+    try:
+        res = subprocess.run(
+            [_sys.executable, "-c",
+             "import jax; print(jax.devices()[0].platform)"],
+            capture_output=True, text=True, timeout=timeout_s,
+        )
+        if res.returncode == 0:
+            return
+        detail = (res.stderr or "")[-400:]
+    except subprocess.TimeoutExpired:
+        detail = f"jax.devices() did not return within {timeout_s:.0f}s"
+    print(json.dumps({
+        "metric": "ensemble_inference_images_per_sec",
+        "value": 0,
+        "unit": "images/sec",
+        "vs_baseline": 0,
+        "error": "accelerator backend unreachable (dead tunnel relay? "
+                 "docs/OPERATIONS.md failure modes): " + detail.strip(),
+    }))
+    raise SystemExit(2)
+
+
 def main():
     args = parse_args()
+    if not args.cpu:
+        _preflight_device()
     _setup_platform(args)
 
     focused = (args.tiny or args.train or args.ddim or args.int8
