@@ -93,3 +93,20 @@ def test_dryrun_multichip_subprocess():
                          text=True, cwd=REPO, timeout=560, env=env)
     assert out.returncode == 0, out.stderr[-2000:]
     assert "dryrun_multichip OK" in out.stdout
+
+
+def test_bench_preflight_unreachable_backend():
+    """A dead/unreachable accelerator backend must produce ONE diagnostic
+    JSON record and a nonzero exit — not an indefinite hang (the dead-relay
+    failure mode, docs/OPERATIONS.md)."""
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cuda"  # not present in this image -> probe fails
+    out = subprocess.run(
+        [sys.executable, "bench.py", "--tiny", "--trials", "1",
+         "--batch", "2", "--repeats", "1"],
+        capture_output=True, text=True, cwd=REPO, timeout=300, env=env,
+    )
+    assert out.returncode == 2, (out.returncode, out.stderr[-500:])
+    rec = json.loads(out.stdout.strip().splitlines()[-1])
+    assert REQUIRED_KEYS <= set(rec)
+    assert "error" in rec and rec["value"] == 0
