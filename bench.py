@@ -172,7 +172,8 @@ def _materialize(shapes, pdtype, scale=0.02):
     return jax.tree.map(fill, shapes)
 
 
-def run_inference(args, ddim, eta, use_int8, use_pallas, label):
+def run_inference(args, ddim, eta, use_int8, use_pallas, label,
+                  int8_encode=False):
     """One inference configuration; returns its self-describing record.
     All device buffers are dropped before returning (the train bench needs
     the HBM)."""
@@ -222,20 +223,42 @@ def run_inference(args, ddim, eta, use_int8, use_pallas, label):
     stacked["batch_stats"] = jax.tree.map(jnp.abs, stacked["batch_stats"])
     stacked["batch_stats"] = jax.tree.map(lambda x: x + 1.0, stacked["batch_stats"])
 
+    if int8_encode:
+        # measure the RESIDENT pre-quantized path the Predictor runs —
+        # quantize ONCE here, outside the timed program (in-jit quantization
+        # re-reads the float weights and cannot win bandwidth). Jitted so
+        # the cast/abs/round chain fuses instead of materializing fp32
+        # copies of the 150528x4096 kernels.
+        from ladine_tpu.kernels.int8 import (
+            quantize_encoder,
+            quantize_mapping_heads,
+        )
+
+        ids = tuple(range(M))
+        stacked = jax.jit(jax.vmap(quantize_encoder))(stacked)
+        gvars = jax.jit(lambda g: quantize_mapping_heads(g, ids))(gvars)
+
     @jax.jit
     def infer(gvars, stacked, images, key):
         # only the M mapping heads are needed — heads_subset runs the ViT to
         # block M and skips the full 12-block forward (the reference loads 6
         # members but evaluates 5; same workload, less dead compute)
-        heads = guidance.apply(gvars, images, tuple(range(M)), method="heads_subset")
+        if int8_encode:
+            from ladine_tpu.kernels.int8 import int8_mapping_heads
+
+            taps = guidance.apply(gvars, images, tuple(range(M)),
+                                  method="taps_subset")
+            heads = int8_mapping_heads(gvars, taps, tuple(range(M)))
+        else:
+            heads = guidance.apply(gvars, images, tuple(range(M)),
+                                   method="heads_subset")
         y0_hat = jax.nn.softmax(heads.astype(jnp.float32), axis=-1)
         xf = images.reshape(images.shape[0], -1)
         return nested_ensemble_sample(cond, stacked, xf, y0_hat, key, sched,
                                       mc_trials=K, tau=tau, eta=eta,
                                       use_pallas_eps=use_pallas,
                                       use_int8_eps=use_int8,
-                                      use_int8_encode=getattr(
-                                          args, "int8_encode", False),
+                                      use_int8_encode=int8_encode,
                                       unroll=args.unroll)
 
     # compile + warmup
@@ -275,7 +298,8 @@ def run_inference(args, ddim, eta, use_int8, use_pallas, label):
         "value": round(img_per_sec, 3),
         "unit": f"images/sec ({M} members x {K} trials x "
                 f"{ddim if ddim else T}-step reverse, batch {B}"
-                + (", int8 eps" if use_int8 else "") + ")",
+                + (", int8 eps" if use_int8 else "")
+                + (", int8 encode+heads" if int8_encode else "") + ")",
         "vs_baseline": round(img_per_sec / REFERENCE_BASELINE_IMG_PER_SEC, 1),
         # self-describing timing methodology (ADVICE r2): which measurement
         # produced the headline value, plus both raw numbers
@@ -365,12 +389,14 @@ def train_bench(args):
     return record
 
 
-def _preflight_device(timeout_s: float = 180.0) -> None:
+def _preflight_device(args, timeout_s: float = 180.0) -> None:
     """Fail FAST with a diagnostic record if the accelerator backend is
     unreachable. A dead remote-TPU tunnel makes jax.devices() block forever
     in the main process (relay death, docs/OPERATIONS.md failure modes) —
     probing in a subprocess turns an indefinite driver hang into one JSON
-    error line and a nonzero exit."""
+    error line and a nonzero exit. A probe that silently falls back to CPU
+    (the accelerator plugin erroring fast instead of hanging) is ALSO a
+    failure: this invocation asked for the accelerator."""
     import subprocess
     import sys as _sys
 
@@ -380,13 +406,17 @@ def _preflight_device(timeout_s: float = 180.0) -> None:
              "import jax; print(jax.devices()[0].platform)"],
             capture_output=True, text=True, timeout=timeout_s,
         )
-        if res.returncode == 0:
+        platform = (res.stdout or "").strip().splitlines()[-1:] or [""]
+        if res.returncode == 0 and platform[0] != "cpu":
             return
-        detail = (res.stderr or "")[-400:]
+        detail = ("probe fell back to CPU" if res.returncode == 0
+                  else (res.stderr or "")[-400:])
     except subprocess.TimeoutExpired:
         detail = f"jax.devices() did not return within {timeout_s:.0f}s"
+    metric = ("diffusion_member_train_images_per_sec" if args.train
+              else "ensemble_inference_images_per_sec")
     print(json.dumps({
-        "metric": "ensemble_inference_images_per_sec",
+        "metric": metric,
         "value": 0,
         "unit": "images/sec",
         "vs_baseline": 0,
@@ -399,7 +429,7 @@ def _preflight_device(timeout_s: float = 180.0) -> None:
 def main():
     args = parse_args()
     if not args.cpu:
-        _preflight_device()
+        _preflight_device(args)
     _setup_platform(args)
 
     focused = (args.tiny or args.train or args.ddim or args.int8
@@ -409,7 +439,8 @@ def main():
         return
     if focused:
         print(json.dumps(run_inference(args, args.ddim, args.eta, args.int8,
-                                       args.pallas, "focused")))
+                                       args.pallas, "focused",
+                                       int8_encode=args.int8_encode)))
         return
 
     # full battery: every headline metric in one driver-verified record

@@ -164,6 +164,14 @@ class Predictor:
             self._rv_g = jax.tree.map(
                 lambda x: jax.device_put(x, rep), self._rv_g
             )
+            if not self.use_int8_encode:
+                # no quantization happened: the run trees ARE the weights —
+                # drop the loaded originals instead of pinning a duplicate
+                # full-size copy for the Predictor's lifetime (save() works
+                # off the sharded trees). With int8 the float originals must
+                # survive for save().
+                self.stacked_vars = self._rv_s
+                self.guidance_vars = self._rv_g
             sharded = jax.jit(
                 _raw,
                 in_shardings=(
