@@ -112,10 +112,17 @@ class Predictor:
                 quantize_mapping_heads,
             )
 
+            # jitted: the cast/abs/round chain fuses into one streaming
+            # pass instead of materializing fp32 copies of the stacked
+            # 150528x4096 kernels (>12 GB transient at full dims — an OOM
+            # on the 16 GB chip this feature targets)
             if self.model.arch == "linear":
-                self._rv_s = jax.vmap(quantize_encoder)(self.stacked_vars)
+                self._rv_s = jax.jit(jax.vmap(quantize_encoder))(
+                    self.stacked_vars)
             if int8_heads:
-                self._rv_g = quantize_mapping_heads(self.guidance_vars, idx)
+                self._rv_g = jax.jit(
+                    lambda g: quantize_mapping_heads(g, idx)
+                )(self.guidance_vars)
 
         def _raw(gvars, stacked, images, key):
             if int8_heads:
