@@ -18,7 +18,12 @@ and ``load_mnist_family`` produces :class:`ArrayDataset` splits with the
 reference's exact transform stacks:
 
 * MNIST / FashionMNIST — grayscale->3ch, resize, [0,1] scale (the
-  'grayscaled' preprocess every live script passes).
+  'grayscaled' preprocess every live script passes). These two are
+  BEYOND-REFERENCE additions: the reference data_loader has no
+  MNIST/FashionMNIST branch at all (dataset.py raises ValueError), so
+  this build defines its own validation convention — a fixed-seed 90/10
+  index carve of the training corpus ('train' and 'valid' are disjoint;
+  neither touches t10k).
 * RotatedMNIST — RandomRotation(45) on train, RandomRotation(90) on
   valid/test, applied BEFORE the resize (the reference's Compose order);
   valid is the TRAIN corpus under test-strength rotation — a reference
@@ -119,9 +124,13 @@ def load_mnist_family(
     (reference ``data_loader`` branches, mapping/data/dataset.py:172-263).
 
     ``split`` is 'train' | 'valid' | 'test'. MNIST/FashionMNIST have no
-    separate validation corpus in the wire format; following the reference's
-    RotatedMNIST convention, 'valid' serves the training corpus (callers
-    that want a held-out split should subset indices themselves)."""
+    separate validation corpus in the wire format, and no reference
+    convention to follow (the reference loader rejects them) — so 'train'
+    and 'valid' are a disjoint fixed-seed 90/10 carve of the training
+    corpus: temperature fitting / model selection never see training or
+    test instances. RotatedMNIST keeps the reference's own quirk: 'valid'
+    is the FULL train corpus under test-strength rotation
+    (dataset.py:258-263: valid uses ``train=True``)."""
     if name not in MNIST_FAMILY:
         raise ValueError(f"{name!r} is not one of {MNIST_FAMILY}")
     if split not in ("train", "valid", "test"):
@@ -140,11 +149,16 @@ def load_mnist_family(
     raw_dir = os.path.join(
         root, "FashionMNIST" if name == "FashionMNIST" else "MNIST", "raw"
     )
-    # the idx wire format has no validation corpus: 'valid' serves the TRAIN
-    # corpus (never t10k — selection/calibration must not touch the test
-    # set), matching the reference's RotatedMNIST convention
-    # (dataset.py:258-263: valid uses train=True)
     images, labels = load_idx_split(raw_dir, train=split != "test")
+    if name in ("MNIST", "FashionMNIST") and split != "test":
+        # disjoint 90/10 train/valid carve (fixed seed): the idx wire format
+        # has no validation corpus and t10k must stay untouched by
+        # selection/calibration. Full-train 'valid' would fit the
+        # calibration temperature on training data.
+        perm = np.random.default_rng(1742).permutation(len(labels))
+        n_val = len(labels) // 10
+        idx = np.sort(perm[:n_val] if split == "valid" else perm[n_val:])
+        images, labels = images[idx], labels[idx]
     stages = [repeat_channels(3)]  # 1ch -> 3ch
     if name == "RotatedMNIST":
         # rotation BEFORE resize, on the native 28x28 (the Compose order)

@@ -224,6 +224,7 @@ def evaluate_ensemble(
     all_samples = []
     all_labels = []
     m = None
+    total = 0
     for i, (images, labels) in enumerate(batches):
         key, sub = jax.random.split(key)
         samples = pipeline(stacked_vars, jnp.asarray(images), jnp.asarray(labels), sub)
@@ -232,11 +233,13 @@ def evaluate_ensemble(
         all_labels.append(np.asarray(labels))
         # per-batch heartbeat: the host pull above is a sync point, so this
         # prints at real progress — long evals must not be SILENT (drivers
-        # kill on silence as the wedged-tunnel-RPC signature, run_results.sh)
+        # kill on silence as the wedged-tunnel-RPC signature, run_results.sh).
+        # Running total, not (i+1)*b: tail batches are ragged.
         import logging
 
+        total += b
         logging.getLogger("ladine_tpu").info(
-            "eval batch %d done (%d instances)", i, (i + 1) * b
+            "eval batch %d done (%d instances)", i, total
         )
 
     samples = np.concatenate(all_samples, axis=1)  # (S, N, C), member-major

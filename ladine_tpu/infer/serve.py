@@ -106,6 +106,7 @@ class Predictor:
         # the full bf16 weight every call and wins nothing); save() keeps
         # serializing the untouched float originals.
         self._rv_g, self._rv_s = self.guidance_vars, self.stacked_vars
+        enc_quantized = heads_quantized = False
         if self.use_int8_encode:
             from ladine_tpu.kernels.int8 import (
                 quantize_encoder,
@@ -119,10 +120,12 @@ class Predictor:
             if self.model.arch == "linear":
                 self._rv_s = jax.jit(jax.vmap(quantize_encoder))(
                     self.stacked_vars)
+                enc_quantized = True
             if int8_heads:
                 self._rv_g = jax.jit(
                     lambda g: quantize_mapping_heads(g, idx)
                 )(self.guidance_vars)
+                heads_quantized = True
 
         def _raw(gvars, stacked, images, key):
             if int8_heads:
@@ -171,13 +174,16 @@ class Predictor:
             self._rv_g = jax.tree.map(
                 lambda x: jax.device_put(x, rep), self._rv_g
             )
-            if not self.use_int8_encode:
-                # no quantization happened: the run trees ARE the weights —
-                # drop the loaded originals instead of pinning a duplicate
-                # full-size copy for the Predictor's lifetime (save() works
-                # off the sharded trees). With int8 the float originals must
-                # survive for save().
+            # wherever no quantization actually ran (per TREE, not per the
+            # use_int8_encode flag — e.g. a non-'linear' arch never
+            # quantizes the encoder) the run tree IS the weights: drop the
+            # loaded originals instead of pinning a duplicate full-size
+            # copy for the Predictor's lifetime (save() works off the
+            # sharded trees). Quantized trees keep their float originals
+            # alive for save().
+            if not enc_quantized:
                 self.stacked_vars = self._rv_s
+            if not heads_quantized:
                 self.guidance_vars = self._rv_g
             sharded = jax.jit(
                 _raw,

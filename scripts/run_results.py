@@ -27,6 +27,7 @@ import glob
 import json
 import math
 import os
+import signal
 import subprocess
 import sys
 import time
@@ -62,8 +63,13 @@ def sh(args, log_path, env=None, stall_timeout=STALL_TIMEOUT_S, retries=1,
         with open(log_path, "a") as f:
             f.write(f"\n===== {' '.join(args)}\n")
             f.flush()
+            # own session: a stall kill must reap GRANDCHILDREN too (bench's
+            # preflight probe, the dryrun's 16-device variant) — an orphaned
+            # grandchild keeps writing the shared log, defeating the retry's
+            # silence detection, and contends for the accelerator
             proc = subprocess.Popen(args, cwd=REPO, env=env, stdout=f,
-                                    stderr=subprocess.STDOUT)
+                                    stderr=subprocess.STDOUT,
+                                    start_new_session=True)
             stalled = False
             last_size, last_growth = os.path.getsize(log_path), time.time()
             while True:
@@ -75,7 +81,10 @@ def sh(args, log_path, env=None, stall_timeout=STALL_TIMEOUT_S, retries=1,
                     if size != last_size:
                         last_size, last_growth = size, time.time()
                     elif time.time() - last_growth > stall_timeout:
-                        proc.kill()
+                        try:
+                            os.killpg(os.getpgid(proc.pid), signal.SIGKILL)
+                        except (OSError, ProcessLookupError):
+                            proc.kill()
                         proc.wait()
                         stalled = True
                         break

@@ -57,10 +57,18 @@ def test_mnist_splits_and_transform(mnist_root):
         train = load_mnist_family(name, mnist_root, "train", image_size=(32, 32))
         test = load_mnist_family(name, mnist_root, "test", image_size=(32, 32))
         valid = load_mnist_family(name, mnist_root, "valid", image_size=(32, 32))
-        assert len(train) == 24 and len(test) == 8
-        # 'valid' must serve the TRAIN corpus — selection/calibration must
-        # never touch t10k (the idx format has no validation corpus)
-        assert len(valid) == 24
+        # disjoint fixed-seed 90/10 carve of the train corpus: selection/
+        # calibration must never see training instances OR t10k (ADVICE r3)
+        assert len(test) == 8
+        assert len(valid) == 24 // 10
+        assert len(train) == 24 - len(valid)
+        # carve is deterministic and disjoint (fixture images are random
+        # bytes, so identical rows only occur for the same source index)
+        valid2 = load_mnist_family(name, mnist_root, "valid", image_size=(32, 32))
+        np.testing.assert_array_equal(valid.labels, valid2.labels)
+        tr_rows = {train.images[i].tobytes() for i in range(len(train))}
+        assert all(valid.images[i].tobytes() not in tr_rows
+                   for i in range(len(valid)))
         images, labels = next(train.batches(4))
         # grayscale -> 3 channels, resized, [0, 1]
         assert images.shape == (4, 32, 32, 3)
