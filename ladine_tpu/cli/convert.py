@@ -122,7 +122,12 @@ def run_export(args) -> int:
             tree, meta = load_checkpoint(pth)
             if "states" in tree:  # training checkpoint: stacked member states
                 st = tree["states"]
-                params = st["ema"] if args.eval_ema else st["params"]
+                if args.eval_ema:
+                    from ladine_tpu.train import ema_params_from_ckpt
+
+                    params = ema_params_from_ckpt(st, meta)
+                else:
+                    params = st["params"]
                 stacked = {"params": params, "batch_stats": st["batch_stats"]}
                 n = len(jax.tree.leaves(params)[0])
                 for i in range(n):

@@ -162,6 +162,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--temperature", type=float, default=None)
     # TPU
     p.add_argument("--bf16", action="store_true")
+    p.add_argument("--fp32", action="store_true",
+                   help="force model.dtype=float32 over the config (numerics "
+                        "A/B: e.g. is a corruption-row uncertainty blowup an "
+                        "OOD signal or bf16 reverse-chain divergence?)")
     p.add_argument("--pallas", action="store_true")
     p.add_argument("--int8", action="store_true",
                    help="with --test/--calib: int8 weights+activations for "
@@ -235,8 +239,12 @@ def main(argv=None) -> int:
         cfg.diffusion.noise_prior_training = False
     if args.no_cat_f_phi:
         cfg.diffusion.include_guidance = False
+    if args.bf16 and args.fp32:
+        raise SystemExit("--bf16 and --fp32 are mutually exclusive")
     if args.bf16:
         cfg.model.dtype = "bfloat16"
+    if args.fp32:
+        cfg.model.dtype = "float32"
     if args.pallas:
         cfg.model.use_pallas = True
     if args.fsdp:
@@ -323,9 +331,22 @@ def main(argv=None) -> int:
                         eval_cast=True,
                     )
                 # with --eval_ema the reported best_accuracy was measured on
-                # the EMA shadows — the artifact must serve the same weights
+                # the (debiased) EMA shadows — the artifact must serve the
+                # same weights
+                from ladine_tpu.train import ema_debias
+
+                mu = cfg.model.ema_rate
+                zero_init = result.get("ema_init", "zero") == "zero"
+
+                def _eval_params(s):
+                    if not args.eval_ema:
+                        return s.params
+                    # legacy (resumed copy-init) accumulators are direct
+                    # weights; zero-init ones debias by 1 - mu^step
+                    return ema_debias(s.ema, mu, s.step) if zero_init else s.ema
+
                 variables = jax.vmap(
-                    lambda s: {"params": s.ema if args.eval_ema else s.params,
+                    lambda s: {"params": _eval_params(s),
                                "batch_stats": s.batch_stats}
                 )(states)
             predictor = Predictor(

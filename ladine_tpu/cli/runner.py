@@ -22,11 +22,8 @@ import numpy as np
 from ladine_tpu.config import Config
 from ladine_tpu.data import (
     CALIBRATED_TEMPERATURE,
-    MNIST_FAMILY,
     base_dataset,
-    load_attack_split,
-    load_mnist_family,
-    load_split,
+    open_dataset,
 )
 from ladine_tpu.infer import (
     EvalConfig,
@@ -134,28 +131,12 @@ class Runner:
             self._ds_cache = {}
         if split not in self._ds_cache:
             c = self.config
-            name = c.data.dataset
-            if "Atk" in name:
-                attack = name.split("Atk")[1]
-                ds = load_attack_split(c.data.dataroot, attack, (self.img, self.img))
-            elif name in MNIST_FAMILY:
-                # download-served corpora read from local artifact files
-                # (zero-egress ingestion; data/downloads.py)
-                # PathMNIST supports grayscaled|none (dataset.py:172-210);
-                # any non-grayscale request maps to 'none' (RGB as-is)
-                pre = "grayscaled" if c.data.preprocess == "grayscaled" else "none"
-                ds = load_mnist_family(
-                    name, c.data.dataroot, split,
-                    preprocess=pre if name == "PathMNIST" else "grayscaled",
-                    image_size=(self.img, self.img),
-                )
-            else:
-                ds = load_split(
-                    c.data.dataroot, name, split,
-                    preprocess=c.data.preprocess,
-                    image_size=(self.img, self.img),
-                )
-            self._ds_cache[split] = ds
+            # one shared router for attack splits / zero-egress MNIST-family
+            # ingestion / ChestXRay-layout ImageFolders (data/router.py)
+            self._ds_cache[split] = open_dataset(
+                c.data.dataset, c.data.dataroot, split,
+                preprocess=c.data.preprocess, image_size=(self.img, self.img),
+            )
         return self._ds_cache[split]
 
     def batches(self, split: str, batch_size: int, drop_last: bool = False,
@@ -388,7 +369,12 @@ class Runner:
                 "checkpoints as separate --diffusion_ckpt arguments instead"
             )
         st = tree["states"]
-        params = st["ema"] if use_ema else st["params"]
+        if use_ema:
+            from ladine_tpu.train import ema_params_from_ckpt
+
+            params = ema_params_from_ckpt(st, meta)
+        else:
+            params = st["params"]
         variables = {"params": params, "batch_stats": st["batch_stats"]}
         variables = self.to_eval_vars(variables, eval_cast=eval_cast)
         guidance = tree.get("guidance")
@@ -614,6 +600,11 @@ class Runner:
                                     c.aux_optim.eps, grad_clip=c.aux_optim.grad_clip)
             gparams = gvars["params"]
             aux_opt = aux_tx.init(gparams)
+        # fresh trainings use the zero-initialized debiased EMA accumulator
+        # (train/ema.py); resuming a legacy (copy-initialized) checkpoint
+        # keeps ITS convention — stamping 'zero' onto a legacy accumulator
+        # would debias weights that are already a direct average
+        ema_init_mode = "zero"
         if resume_from:
             import json as _json
 
@@ -625,6 +616,7 @@ class Runner:
                 )
             tree, meta = load_checkpoint(resume_from, target={"states": states, "guidance": gvars})
             states, gvars = tree["states"], tree["guidance"]
+            ema_init_mode = meta.get("ema_init", "copy")
             if joint_train:
                 gparams = gvars["params"]
                 # aux optimizer state lives in a sibling checkpoint so the
@@ -782,7 +774,8 @@ class Runner:
                 # reuse exactly the key material validation just consumed
                 val_key = jax.random.fold_in(key, 1_000_000 + epoch)
                 acc = self._validate(gvars, states, val_key, head_indices=head_indices,
-                                     use_ema=eval_ema, precomputed_yhat=yhat_valid)
+                                     use_ema=eval_ema, ema_mode=ema_init_mode,
+                                     precomputed_yhat=yhat_valid)
                 self.scalars.add_scalar("accuracy", acc, global_step)
                 self.logger.info(f"epoch {epoch}: validation majority-vote acc {acc:.2f}%")
                 if acc > best_acc:
@@ -799,7 +792,12 @@ class Runner:
                             "kind": "diffusion_members", "light": light_ckpt,
                             # which guidance head(s) the member(s) trained
                             # against — eval must condition on the same heads
-                            "member_idx": member_idx}
+                            "member_idx": member_idx,
+                            # 'zero' = debiased accumulator (train/ema.py);
+                            # eval loaders divide by 1 - mu^step. 'copy' =
+                            # legacy direct-read shadow (resumed legacy runs)
+                            "ema_init": ema_init_mode,
+                            "ema_rate": float(c.model.ema_rate)}
                     ckpt_gvars = gvars
                     if light_ckpt:
                         # eval-relevant state only, cast to the compute dtype
@@ -818,7 +816,11 @@ class Runner:
 
                         payload = {"params": lightcast(states.params),
                                    "ema": lightcast(states.ema),
-                                   "batch_stats": states.batch_stats}
+                                   "batch_stats": states.batch_stats,
+                                   # per-member update counts: EMA debiasing
+                                   # at load time needs them (and they cost
+                                   # M ints)
+                                   "step": states.step}
                         if guidance_untouched and (guidance_ckpt or vit_ckpt):
                             # the guidance IS the immutable stage-1 artifacts:
                             # store their paths, not a ~13 GB copy per save.
@@ -869,10 +871,12 @@ class Runner:
                        "best_ckpt_path": best_ckpt_path}, f)
         return {"best_accuracy": best_acc, "steps": global_step,
                 "states": states, "guidance": gvars,
-                "best_ckpt_path": best_ckpt_path}
+                "best_ckpt_path": best_ckpt_path,
+                "ema_init": ema_init_mode}
 
     def _validate(self, gvars, states, key, mc_trials: int = 1,
                   head_indices=None, use_ema: bool = False,
+                  ema_mode: str = "zero",
                   precomputed_yhat: Optional[np.ndarray] = None) -> float:
         """Majority-vote accuracy on the validation split — the in-training
         quality gate (classification_train_separately.py:1054-1129).
@@ -888,8 +892,19 @@ class Runner:
         from ladine_tpu.ops import ddim_timesteps
 
         c = self.config
+        from ladine_tpu.train import ema_debias
+
+        mu = c.model.ema_rate
+
+        def eval_params(s):
+            if not use_ema:
+                return s.params
+            # legacy (copy-init) accumulators are direct weights
+            return (ema_debias(s.ema, mu, s.step) if ema_mode == "zero"
+                    else s.ema)
+
         variables = jax.vmap(
-            lambda s: {"params": s.ema if use_ema else s.params,
+            lambda s: {"params": eval_params(s),
                        "batch_stats": s.batch_stats}
         )(states)
         n_members = jax.tree.leaves(states.step)[0].shape[0]

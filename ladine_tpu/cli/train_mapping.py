@@ -79,7 +79,7 @@ def main(argv=None) -> int:
     if args.lr is None:
         args.lr = 5e-4 if "ISIC" in args.dataset else 1e-3
 
-    from ladine_tpu.data import load_split
+    from ladine_tpu.data import open_dataset
     from ladine_tpu.models import MappingMLP, ViT
     from ladine_tpu.train import (
         create_mapping_states,
@@ -123,15 +123,15 @@ def main(argv=None) -> int:
         if args.demo:
             return demo_batches(seed=seed)
         if split not in datasets:
-            datasets[split] = load_split(args.dataroot, args.dataset, split,
-                                         args.preprocess, image_size=(img, img))
+            datasets[split] = open_dataset(args.dataset, args.dataroot, split,
+                                           args.preprocess, image_size=(img, img))
         return datasets[split].batches(bs, shuffle=shuffle, seed=seed)
 
     if args.demo:
         steps_per_epoch = 4
     else:
-        datasets["train"] = load_split(args.dataroot, args.dataset, "train",
-                                       args.preprocess, image_size=(img, img))
+        datasets["train"] = open_dataset(args.dataset, args.dataroot, "train",
+                                         args.preprocess, image_size=(img, img))
         steps_per_epoch = max(1, -(-len(datasets["train"]) // args.batch_size))
     tx = make_optimizer("Adam",
                         step_decay(args.lr, args.step_size, args.gamma, steps_per_epoch),

@@ -58,7 +58,7 @@ def main(argv=None) -> int:
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
 
-    from ladine_tpu.data import load_split
+    from ladine_tpu.data import open_dataset
     from ladine_tpu.models import ViT
     from ladine_tpu.train import (
         create_vit_state,
@@ -120,15 +120,15 @@ def main(argv=None) -> int:
         if args.demo:
             return demo_batches(seed=seed)
         if split not in datasets:
-            datasets[split] = load_split(args.dataroot, args.dataset, split,
-                                         args.preprocess, image_size=(img, img))
+            datasets[split] = open_dataset(args.dataset, args.dataroot, split,
+                                           args.preprocess, image_size=(img, img))
         return datasets[split].batches(bs, shuffle=shuffle, seed=seed)
 
     if args.demo:
         steps_per_epoch = 4
     else:
-        datasets["train"] = load_split(args.dataroot, args.dataset, "train",
-                                       args.preprocess, image_size=(img, img))
+        datasets["train"] = open_dataset(args.dataset, args.dataroot, "train",
+                                         args.preprocess, image_size=(img, img))
         steps_per_epoch = max(1, -(-len(datasets["train"]) // args.batch_size))
     tx = make_optimizer("AdamW",
                         step_decay(args.lr, args.step_size, args.gamma, steps_per_epoch),

@@ -19,6 +19,7 @@ from ladine_tpu.data.downloads import (
     load_pathmnist_split,
     read_idx,
 )
+from ladine_tpu.data.router import open_dataset
 from ladine_tpu.data.synthetic import Gaussians, GaussianMixture1D, add_gaussian_noise
 from ladine_tpu.data.arrays import (
     ArrayDataset,

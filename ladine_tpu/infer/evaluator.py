@@ -281,11 +281,22 @@ def compute_report(
             for m in range(num_members)
         ]
         extra["per_member_mv_accuracy"] = [round(a, 2) for a in accs]
+    # binomial 95% CI half-widths (percentage points) for the two accuracy
+    # rows: claims like sampler-step sweeps must be judged against sampling
+    # noise (round-3 verdict Next #4 — at n=140, sigma is +-2.6pp)
+    n = int(labels.shape[0])
+
+    def _ci95(acc_pct: float) -> float:
+        p = min(max(acc_pct / 100.0, 0.0), 1.0)
+        return round(196.0 * float(np.sqrt(p * (1.0 - p) / max(n, 1))), 2)
+
     return {
         **extra,
         "num_samples": int(samples.shape[0]),
         "num_instances": int(labels.shape[0]),
         "majority_vote_accuracy": mv_acc,
+        "majority_vote_accuracy_ci95_pp": _ci95(mv_acc),
+        "mean_confidence_accuracy_ci95_pp": _ci95(float(top1)),
         "mean_confidence_accuracy": float(top1),
         "ece": float(ece(conf, labels_j)),
         "nll": float(nll(conf, labels_j, eps=1e-12)),

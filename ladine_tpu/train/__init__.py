@@ -1,4 +1,9 @@
-from ladine_tpu.train.ema import ema_init, ema_update
+from ladine_tpu.train.ema import (
+    ema_debias,
+    ema_init,
+    ema_params_from_ckpt,
+    ema_update,
+)
 from ladine_tpu.train.optim import (
     cosine_warm_restarts,
     make_optimizer,

@@ -91,6 +91,14 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", type=str, required=True)
     ap.add_argument("--n", type=int, default=250, help="train images per class")
+    ap.add_argument("--test_n", type=int, default=None,
+                    help="test images per class (default n*3//10). The rng "
+                         "stream draws training, then validation, then "
+                         "testing — so enlarging ONLY the test split keeps "
+                         "training/validation byte-identical to a previous "
+                         "run with the same seed/n, and trained checkpoints "
+                         "stay reusable (round-3 verdict Next #4: n=140 "
+                         "rows have +-2.6pt binomial sigma)")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--label_noise", type=float, default=0.0,
                     help="fraction of TRAINING labels flipped (extra knob; "
@@ -99,7 +107,8 @@ def main():
     from PIL import Image
 
     rng = np.random.default_rng(args.seed)
-    counts = {"training": args.n, "validation": args.n * 3 // 10, "testing": args.n * 3 // 10}
+    test_n = args.test_n if args.test_n is not None else args.n * 3 // 10
+    counts = {"training": args.n, "validation": args.n * 3 // 10, "testing": test_n}
     for split, n in counts.items():
         for cls_idx, cls in enumerate(["NORMAL", "TUBERCULOSIS"]):
             d = os.path.join(args.out, split, cls)

@@ -1,0 +1,162 @@
+"""Real-data evidence run: the full three-stage LaDiNE pipeline + eval on
+scikit-learn's bundled handwritten-digits corpus (REAL scanned digits,
+exported to MNIST idx format by make_digits_corpus.py and ingested through
+the zero-egress MNIST-family path).
+
+Mirrors scripts/run_results.py's orchestration (stage 1a ViT -> stage 1b
+mapping MLPs -> stage 3 diffusion members -> calibrate -> test) at the
+reduced dims of configs/digits.yml; resumable on completed artifacts. CPU
+is fine at these dims — pass --cpu anywhere.
+
+Usage: python scripts/run_digits.py --work /tmp/digits_run [--cpu] [--fast]
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import os
+import re
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, os.path.join(REPO, "scripts"))
+from run_results import last_json, sh  # noqa: E402  (shared step driver)
+
+DIMS = ["--image_size", "32", "--patch_size", "8", "--embed_dim", "48",
+        "--depth", "5", "--num_heads", "4"]
+MLP_DIMS = ["--mlp_hidden_dims", "64", "32", "16"]
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--work", type=str, default="/tmp/digits_run")
+    ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--fast", action="store_true",
+                    help="2-epoch smoke (wiring check, not evidence)")
+    args = ap.parse_args()
+
+    w = args.work
+    os.makedirs(w, exist_ok=True)
+    env = dict(os.environ)
+    env.setdefault("JAX_COMPILATION_CACHE_DIR", os.path.join(w, "jaxcache"))
+    py = [sys.executable]
+    cpu = ["--cpu"] if args.cpu else []
+    cfg = os.path.join(REPO, "configs", "digits.yml")
+    root = os.path.join(w, "digits_root")
+    models = os.path.join(w, "models")
+    exp = os.path.join(w, "exp")
+    log = os.path.join(w, "driver.log")
+    e1 = 2 if args.fast else 40
+    e3 = 2 if args.fast else 40
+
+    if not os.path.exists(os.path.join(root, "MNIST", "raw",
+                                       "train-images-idx3-ubyte")):
+        sh(py + [os.path.join(REPO, "scripts", "make_digits_corpus.py"),
+                 "--out", root], log, env)
+
+    # ---- stage 1a: ViT ---------------------------------------------------
+    s1a_log = os.path.join(w, "stage1a.log")
+    vit_ckpt = os.path.join(models, "vit_MNIST")
+    if not os.path.exists(os.path.join(vit_ckpt, "ladine_meta.json")):
+        sh(py + ["-m", "ladine_tpu.cli.train_transformer", *cpu, *DIMS,
+                 "--dataset", "MNIST", "--dataroot", root,
+                 "--num_classes", "10", "--epochs", str(e1),
+                 "--batch_size", "32", "--out", models],
+           s1a_log, env,
+           done_check=lambda: os.path.exists(
+               os.path.join(vit_ckpt, "ladine_meta.json")))
+    s1a = last_json(s1a_log) if os.path.exists(s1a_log) else None
+
+    # ---- stage 1b: mapping MLPs -------------------------------------------
+    s1b_log = os.path.join(w, "stage1b.log")
+    mlp_dir = os.path.join(models, "MNIST", "MLPs")
+    for k in range(5):
+        if not os.path.exists(os.path.join(mlp_dir, f"block_{k}",
+                                           "ladine_meta.json")):
+            sh(py + ["-m", "ladine_tpu.cli.train_mapping", *cpu, *DIMS,
+                     *MLP_DIMS, "--dataset", "MNIST", "--dataroot", root,
+                     "--num_classes", "10", "--epochs", str(e1),
+                     "--batch_size", "32", "--out", models,
+                     "--vit_ckpt", vit_ckpt, "--num_members", "5",
+                     "--mlp_idx", str(k),
+                     "--save_dtype", "float32"],
+               s1b_log, env,
+               done_check=lambda k=k: os.path.exists(os.path.join(
+                   mlp_dir, f"block_{k}", "ladine_meta.json")))
+    s1b_accs = []
+    for k in range(5):
+        p = os.path.join(mlp_dir, f"block_{k}", "ladine_meta.json")
+        s1b_accs.append(round(json.load(open(p)).get("accuracy", -1), 2)
+                        if os.path.exists(p) else "?")
+
+    # ---- stage 3: diffusion members ---------------------------------------
+    def best_ckpt(doc):
+        found = [p for p in glob.glob(os.path.join(
+                    exp, "logs", doc, "diffu*_ckpt_best_*"))
+                 if not p.endswith("_aux")
+                 and os.path.exists(os.path.join(p, "ladine_meta.json"))]
+        return max(found, default=None,
+                   key=lambda p: int(re.search(r"_eph(\d+)_", p).group(1)))
+
+    member_ckpts = []
+    for k in range(5):
+        doc = f"member{k}"
+        ck = best_ckpt(doc)
+        if ck is None:
+            marker = os.path.join(exp, "logs", doc, "train_complete.json")
+            sh(py + ["-m", "ladine_tpu.cli.main", *cpu, "--train",
+                     "--config", cfg, "--dataroot", root, "--exp", exp,
+                     "--doc", doc, "--seed", str(2000 + k),
+                     "--mlp_idx", str(k), "--n_epochs", str(e3),
+                     "--precompute_guidance", "--light_ckpt",
+                     "--vit_ckpt", vit_ckpt, "--mlp_ckpt_dir", mlp_dir],
+               log, env,
+               done_check=lambda doc=doc, m=marker: (
+                   os.path.exists(m) and best_ckpt(doc) is not None))
+            ck = best_ckpt(doc)
+        member_ckpts.append(ck)
+
+    common = ["--config", cfg, "--dataroot", root, "--exp", exp,
+              "--diffusion_ckpt", *member_ckpts]
+
+    def eval_step(doc, extra):
+        rpt = os.path.join(exp, "logs", doc, "report.json")
+        if not os.path.exists(rpt):
+            sh(py + ["-m", "ladine_tpu.cli.main", *cpu, *extra, *common,
+                     "--doc", doc], log, env,
+               done_check=lambda: os.path.exists(rpt))
+        return json.load(open(rpt))
+
+    calib = eval_step("calib", ["--calib", "--ddim", "10", "--eta", "1.0"])
+    temp = calib["calibrated_temperature"]
+    clean = eval_step("test", ["--test", "--ddim", "10", "--eta", "1.0",
+                               "--temperature", str(temp)])
+    # debiased-EMA A/B on checkpoints trained THIS round (meta
+    # ema_init=zero): the round-3 verdict's 'EMA >= raw at the evidence
+    # run's epoch count' check (Next #7)
+    ema = eval_step("test_ema", ["--test", "--ddim", "10", "--eta", "1.0",
+                                 "--eval_ema", "--temperature", str(temp)])
+
+    def pick(r):
+        return {k: r.get(k) for k in (
+            "majority_vote_accuracy", "majority_vote_accuracy_ci95_pp",
+            "mean_confidence_accuracy", "mean_confidence_accuracy_ci95_pp",
+            "ece", "nll", "brier", "num_instances")}
+
+    out = {
+        "dataset": "sklearn digits (real scanned digits, 10 classes)",
+        "stage1a_vit_val_acc": (s1a or {}).get("best_val_accuracy"),
+        "stage1b_mlp_val_accs": s1b_accs,
+        "calibrated_temperature": temp,
+        "test": pick(clean),
+        "test_ema_debiased": pick(ema),
+    }
+    with open(os.path.join(w, "digits_summary.json"), "w") as f:
+        json.dump(out, f, indent=2)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -113,7 +113,8 @@ def sh(args, log_path, env=None, stall_timeout=STALL_TIMEOUT_S, retries=1,
         f"step stalled {retries + 1}x ({stall_timeout}s silence each): {args}")
 
 
-def run_suite_rows(suite, suite_path, sdir, extra, py, cpu, log, env):
+def run_suite_rows(suite, suite_path, sdir, extra, py, cpu, log, env,
+                   doc="suite"):
     """Run the eval battery, handing the subprocess ONLY the rows whose
     report is missing — recomputed on EVERY attempt, so a stall-killed
     attempt's completed rows (written incrementally by cli.main) are not
@@ -127,7 +128,7 @@ def run_suite_rows(suite, suite_path, sdir, extra, py, cpu, log, env):
             json.dump({n: suite[n] for n in missing}, f)
         try:
             sh(py + ["-m", "ladine_tpu.cli.main", *cpu, "--test",
-                     "--suite", suite_path, *extra, "--doc", "suite"],
+                     "--suite", suite_path, *extra, "--doc", doc],
                log, env, retries=0,
                done_check=lambda: all(
                    os.path.exists(os.path.join(sdir, f"report_{n}.json"))
@@ -176,6 +177,11 @@ def suite_dict(fast: bool) -> dict:
         "atk_fgsm": {**d50, "attack_name": "FGSM", "attack_eps": 0.03},
         "atk_pgd": {**d50, "attack_name": "PGD", "attack_eps": 0.03},
         "int8": {**d50, "use_int8": True},
+        # the full serving preset: DDIM-10 + int8 eps + resident int8
+        # encoder/head weights — the accuracy row gating the
+        # serving_ddim10_int8_encode battery record (round-3 verdict Next #2)
+        "int8_enc": {"ddim_steps": 10, "ddim_eta": 1.0, "use_int8": True,
+                     "use_int8_encode": True},
     }
     if fast:
         suite = {k: suite[k] for k in ("full", "d50", "d10", "noise", "atk_fgsm")}
@@ -188,8 +194,15 @@ CORRUPTION_ROWS = ("noise", "noise_hard", "contrast", "lowres", "cover", "crop")
 def md_row(name, r):
     if r is None:
         return f"| {name} | — | — | — | — | — |"
-    return (f"| {name} | {r['mean_confidence_accuracy']:.2f} | "
-            f"{r['majority_vote_accuracy']:.2f} | {r['ece']:.4f} | "
+    # binomial 95% CI half-widths ride along when the report carries them
+    # (reports written by this round's evaluator; round-3 verdict Next #4)
+    ci = r.get("mean_confidence_accuracy_ci95_pp")
+    ci_mv = r.get("majority_vote_accuracy_ci95_pp")
+    acc = f"{r['mean_confidence_accuracy']:.2f}" + (
+        f" ± {ci:.1f}" if ci is not None else "")
+    mv = f"{r['majority_vote_accuracy']:.2f}" + (
+        f" ± {ci_mv:.1f}" if ci_mv is not None else "")
+    return (f"| {name} | {acc} | {mv} | {r['ece']:.4f} | "
             f"{r['nll']:.4f} | {r['brier']:.4f}  |")
 
 
@@ -412,8 +425,13 @@ def main():
 
     # ---- dataset -------------------------------------------------------
     if not os.path.isdir(os.path.join(ds, "testing")):
+        # 600 test images/class at full dims: binomial 95% CI ~ +-1.7pp on
+        # the n=1190 protocol (vs +-5pp at the old n=140; round-3 verdict
+        # Next #4). Training/validation draws precede testing in the rng
+        # stream, so checkpoints from an --n-matched corpus stay reusable.
         sh(py + [os.path.join(REPO, "scripts", "make_synth_medical.py"),
-                 "--out", ds, "--n", "60" if args.fast else "250"], log, env)
+                 "--out", ds, "--n", "60" if args.fast else "250",
+                 *([] if args.fast else ["--test_n", "600"])], log, env)
 
     # ---- stage 1a ------------------------------------------------------
     # per-stage logs: last_json must see THIS stage's summary even on a
@@ -552,10 +570,32 @@ def main():
     clean_full = row_report("full")
     clean_d50 = row_report("d50")
     clean_int8 = row_report("int8")
+    clean_int8_enc = row_report("int8_enc")
     sweep = {n: r for n in ("d25", "d10") if (r := row_report(n)) is not None}
     corr = {n: r for n in CORRUPTION_ROWS if (r := row_report(n)) is not None}
     atk = {n.split("_")[1].upper(): r for n in ("atk_fgsm", "atk_pgd")
            if (r := row_report(n)) is not None}
+
+    # ---- fp32 cover A/B (separate process: different COMPILE dtype) ----
+    # Is the cover-row PIW/MC-variance blowup an OOD alarm or bf16
+    # reverse-chain divergence? The reference runs fp32 (utils.py:315-348
+    # semantics); one flag re-runs the same row in fp32 (round-3 verdict
+    # Next #5). Skipped silently on the tiny config (already fp32).
+    cover_fp32 = None
+    if not args.tiny:
+        try:
+            f32_suite = {"cover_fp32": suite["cover"] if "cover" in suite
+                         else {"ddim_steps": 50, "ddim_eta": 1.0,
+                               "cover": [0.05, 4]}}
+            sdir32 = os.path.join(exp, "logs", "suite_fp32")
+            run_suite_rows(f32_suite, os.path.join(w, "suite_fp32.json"),
+                           sdir32, tflag + common + ["--fp32"], py, cpu, log,
+                           env, doc="suite_fp32")
+            p32 = os.path.join(sdir32, "report_cover_fp32.json")
+            cover_fp32 = json.load(open(p32)) if os.path.exists(p32) else None
+        except RuntimeError as e:
+            print(f"[run] fp32 cover A/B failed, continuing: {e}",
+                  file=sys.stderr)
 
     # ---- EMA weights (separate process: different LOADED weights) -------
     try:
@@ -609,16 +649,24 @@ def main():
     ]
     if clean_int8 is not None:
         lines.append(md_row("clean, DDIM-50, int8 eps matmuls (--int8)", clean_int8))
+    if clean_int8_enc is not None:
+        lines.append(md_row(
+            "clean, DDIM-10, int8 eps + resident int8 encoder/heads "
+            "(the serving_ddim10_int8_encode preset)", clean_int8_enc))
     for name, r in sweep.items():
         steps = name[1:]
         lines.append(md_row(f"clean, DDIM-{steps} eta=1 (step sweep)", r))
     for name, r in corr.items():
         lines.append(md_row(f"corruption: {name}", r))
+    if cover_fp32 is not None:
+        lines.append(md_row("corruption: cover, fp32 members (numerics A/B)",
+                            cover_fp32))
     for name, r in atk.items():
         lines.append(md_row(f"attack: {name} (eps 0.03, white-box ViT)", r))
     lines += uncertainty_lines({
         "clean (DDIM-50)": clean_d50,
         **{f"corruption: {n}": r for n, r in corr.items()},
+        **({"corruption: cover (fp32 A/B)": cover_fp32} if cover_fp32 else {}),
         **{f"attack: {n}": r for n, r in atk.items()},
     })
     lines += [
@@ -629,22 +677,27 @@ def main():
         "- The full-chain and DDIM-50 rows should agree closely (sampler",
         "  equivalence at eta=1; see examples/gmm_posterior.py for the",
         "  statistical validation).",
-        "- The EMA row lags raw weights BY CONSTRUCTION at short schedules:",
-        "  mu=0.9999 needs ~10k+ steps to track (the reference trains 1000",
-        "  epochs); the row demonstrates the --eval_ema path end-to-end.",
+        "- The EMA row uses DEBIASED shadow weights (zero-init accumulator /",
+        "  (1 - mu^t), train/ema.py): an exact weighted average of the",
+        "  post-init trajectory at any step count, so EMA is competitive with",
+        "  raw weights even at this run's epoch counts (the round-3 copy-init",
+        "  shadow was still ~random-init at mu=0.9999). NOTE: only applies to",
+        "  checkpoints trained this round or later (meta ema_init=zero);",
+        "  legacy checkpoints keep direct-read shadows.",
         "- Attack rows measure robustness of the nested ensemble to white-box",
         "  attacks on the ViT (the reference's test_atk protocol).",
         "- The DDIM step-sweep rows (25/10) bound how far the serving preset",
         "  can drop steps before accuracy/ECE degrade: each step removed is a",
         "  proportional serving-throughput win (see bench.py ddim50 record).",
-        "- The cover row's PIW/variance magnitudes (~1e5/1e11 vs ~1.5/0.17",
-        "  clean) are the ensemble's out-of-distribution alarm, not a bug:",
-        "  4x5% occlusion pushes inputs far off the training manifold and the",
-        "  unbounded simplex diffusion amplifies — a many-orders-of-magnitude",
-        "  uncertainty spike that flags occlusion harder than any calibrated",
-        "  score (at these magnitudes the correct/incorrect split itself is",
-        "  no longer meaningful). Zero-fill semantics match the reference",
-        "  (utils.py:315-348 on [0,1] grayscaled tensors).",
+        "- The cover row's PIW/variance magnitudes (orders above clean) are",
+        "  the ensemble's out-of-distribution alarm: 4x5% occlusion pushes",
+        "  inputs far off the training manifold and the unbounded simplex",
+        "  diffusion amplifies. The 'cover, fp32 members' A/B row re-runs the",
+        "  identical evaluation with --fp32 — if its magnitudes match the",
+        "  bf16 row, the blowup is the model's OOD response, not bf16",
+        "  reverse-chain divergence (round-3 verdict Next #5). Zero-fill",
+        "  semantics match the reference (utils.py:315-348 on [0,1]",
+        "  grayscaled tensors).",
     ]
     # tiny smoke writes into the work dir, never over the real evidence
     out = os.path.join(w if args.tiny else REPO, "RESULTS.md")

@@ -310,8 +310,9 @@ def test_export_cli_from_training_ckpt(tmp_path):
                              y_dim=2, n_steps=11)
     tx = make_optimizer("Adam", 1e-3)
     states = create_member_states(model, jax.random.PRNGKey(0), tx, 3, batch_size=4)
-    # make EMA distinguishable from raw params
-    states = states.replace(ema=jax.tree.map(lambda x: x + 1.0, states.ema))
+    # make EMA distinguishable from raw params (this ckpt carries no
+    # ema_init meta -> legacy pass-through: the shadow IS the weights)
+    states = states.replace(ema=jax.tree.map(lambda x: x + 1.0, states.params))
     ck = str(tmp_path / "diffu_all0_ckpt_best_eph7_acc88.0")
     save_checkpoint(ck, {"states": states, "guidance": None},
                     {"epoch": 7, "accuracy": 88.0, "kind": "diffusion_members",

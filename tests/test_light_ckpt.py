@@ -31,8 +31,10 @@ def test_light_ckpt_saves_eval_payload_only(tmp_path):
 
     from ladine_tpu.utils import load_checkpoint
 
-    tree, _ = load_checkpoint(ck)
-    assert set(tree["states"]) == {"params", "ema", "batch_stats"}
+    tree, meta2 = load_checkpoint(ck)
+    # step rides along: EMA debiasing at load time needs the update counts
+    assert set(tree["states"]) == {"params", "ema", "batch_stats", "step"}
+    assert meta2["ema_init"] == "zero" and meta2["ema_rate"] > 0
 
     # evaluates through the normal train-ckpt loader, raw and EMA
     vars_raw, g, _ = runner.load_members_from_train_ckpt(ck)

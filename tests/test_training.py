@@ -24,11 +24,18 @@ from ladine_tpu.train import (
 
 
 def test_ema():
+    # zero-init accumulator + Adam-style debias (train/ema.py): one update
+    # at ANY mu debiases to exactly the params seen — no init anchor
+    from ladine_tpu.train import ema_debias
+
     p = {"a": jnp.ones(3)}
     e = ema_init(p)
+    np.testing.assert_allclose(np.asarray(e["a"]), 0.0)
     p2 = {"a": jnp.full(3, 2.0)}
     e2 = ema_update(e, p2, mu=0.9)
-    np.testing.assert_allclose(np.asarray(e2["a"]), 0.9 * 1.0 + 0.1 * 2.0)
+    np.testing.assert_allclose(np.asarray(e2["a"]), 0.1 * 2.0, rtol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(ema_debias(e2, 0.9, 1)["a"]), 2.0, rtol=1e-6)
 
 
 def test_warmup_cosine_schedule():
@@ -93,7 +100,14 @@ def test_member_step_updates_ema_and_stats(tiny_setup):
     k1 = np.asarray(new_state.params["lin4"]["Dense_0"]["kernel"])
     e1 = np.asarray(new_state.ema["lin4"]["Dense_0"]["kernel"])
     assert not np.allclose(k0, k1)
-    np.testing.assert_allclose(e1, 0.5 * k0 + 0.5 * k1, rtol=1e-5)
+    # zero-init accumulator: one step at mu=0.5 holds 0.5 * params_1; the
+    # debiased read (1 - 0.5^1 divisor) recovers params_1 exactly
+    np.testing.assert_allclose(e1, 0.5 * k1, rtol=1e-5)
+    from ladine_tpu.train import ema_debias
+
+    deb = ema_debias(new_state.ema, 0.5, new_state.step)
+    np.testing.assert_allclose(
+        np.asarray(deb["lin4"]["Dense_0"]["kernel"]), k1, rtol=1e-5)
     # batch stats moved
     b0 = np.asarray(state.batch_stats["enc_bn1"]["mean"])
     b1 = np.asarray(new_state.batch_stats["enc_bn1"]["mean"])
