@@ -464,6 +464,18 @@ def _preflight_device(args, timeout_s: float = 180.0) -> None:
                   else (res.stderr or "")[-400:])
     except subprocess.TimeoutExpired:
         detail = f"jax.devices() did not return within {timeout_s:.0f}s"
+    # TCP scan of the relay's forwarded ports: distinguishes the dead-relay
+    # failure mode (all refusing) from a live relay with a plugin error
+    import socket
+
+    open_ports = []
+    for port in (8082, 8083, 8087, 8092, 8093, 8097):
+        try:
+            with socket.create_connection(("127.0.0.1", port), timeout=1):
+                open_ports.append(port)
+        except OSError:
+            pass
+    detail += (f"; relay ports open: {open_ports or 'NONE (relay dead)'}")
     metric = ("diffusion_member_train_images_per_sec" if args.train
               else "ensemble_inference_images_per_sec")
     print(json.dumps({
