@@ -184,7 +184,8 @@ def suite_dict(fast: bool) -> dict:
                      "use_int8_encode": True},
     }
     if fast:
-        suite = {k: suite[k] for k in ("full", "d50", "d10", "noise", "atk_fgsm")}
+        suite = {k: suite[k] for k in ("full", "d50", "d10", "noise",
+                                       "atk_fgsm", "int8_enc")}
     return suite
 
 
