@@ -537,8 +537,10 @@ def _run_battery(args):
 
     # a polite kill (driver stall-logic, operator Ctrl-C) should flow
     # through the partial-emission path, not vaporize the run
-    signal.signal(signal.SIGTERM, lambda *_: (_ for _ in ()).throw(
-        RuntimeError("SIGTERM")))
+    def _sigterm(signum, frame):
+        raise RuntimeError("SIGTERM")
+
+    signal.signal(signal.SIGTERM, _sigterm)
 
     configs = [
         ("ancestral_1000_parity_workload",
@@ -560,7 +562,10 @@ def _run_battery(args):
         ("train_step", lambda: train_bench(args)),
     ]
     fail_after = int(os.environ.get("LADINE_BENCH_FAIL_AFTER", "0") or 0)
-    _persist_partial({"battery_start": True,
+    # start marker carries the config class so smoke records can never be
+    # mistaken for accelerator evidence in the partials file
+    _persist_partial({"battery_start": True, "tiny": bool(args.tiny),
+                      "cpu": bool(args.cpu),
                       "t": time.strftime("%Y-%m-%dT%H:%M:%S")})
     done, err = [], None
     for idx, (name, fn) in enumerate(configs):

@@ -333,20 +333,13 @@ def main(argv=None) -> int:
                 # with --eval_ema the reported best_accuracy was measured on
                 # the (debiased) EMA shadows — the artifact must serve the
                 # same weights
-                from ladine_tpu.train import ema_debias
+                from ladine_tpu.train import ema_read
 
                 mu = cfg.model.ema_rate
-                zero_init = result.get("ema_init", "zero") == "zero"
-
-                def _eval_params(s):
-                    if not args.eval_ema:
-                        return s.params
-                    # legacy (resumed copy-init) accumulators are direct
-                    # weights; zero-init ones debias by 1 - mu^step
-                    return ema_debias(s.ema, mu, s.step) if zero_init else s.ema
-
+                mode = result.get("ema_init", "zero")
                 variables = jax.vmap(
-                    lambda s: {"params": _eval_params(s),
+                    lambda s: {"params": ema_read(s.ema, mu, s.step, mode)
+                               if args.eval_ema else s.params,
                                "batch_stats": s.batch_stats}
                 )(states)
             predictor = Predictor(

@@ -52,7 +52,7 @@ def main(argv=None) -> int:
     from PIL import Image
 
     from ladine_tpu.attacks import make_attack
-    from ladine_tpu.data import load_split
+    from ladine_tpu.data import open_dataset
     from ladine_tpu.models import ViT
     from ladine_tpu.utils import load_checkpoint, setup_logging
 
@@ -95,11 +95,15 @@ def main(argv=None) -> int:
 
     # the image pipeline stays raw/[0,1] like the reference's Test_attacks
     # trees (unnormalized images; normalization happens inside logits_fn)
-    ds = load_split(args.dataroot, args.dataset, "test", "raw" if args.preprocess
-                    == "standardized" else args.preprocess, image_size=(img, img))
+    # shared name router (data/router.py): MNIST-family corpora get their
+    # zero-egress idx ingestion here too, so Test_attacks_* trees can be
+    # generated for every dataset the pipeline accepts
+    ds = open_dataset(args.dataset, args.dataroot, "test",
+                      "raw" if args.preprocess == "standardized"
+                      else args.preprocess, image_size=(img, img))
     out_root = args.out or os.path.join(args.dataroot, f"Test_attacks_{args.attack_name}")
 
-    counts = {c: 0 for c in ds.classes}
+    counts = {str(c): 0 for c in ds.classes}
     n_success = n_total = 0
     key = jax.random.PRNGKey(args.seed)
     for images, labels in ds.batches(args.batch_size):
@@ -109,7 +113,9 @@ def main(argv=None) -> int:
         n_success += int(np.asarray(success).sum())
         n_total += len(labels)
         for i, lab in enumerate(np.asarray(labels)):
-            cls = ds.classes[int(lab)]
+            # ImageFolder datasets name classes by directory; ArrayDataset
+            # (MNIST-family) classes are ints — both become directory names
+            cls = str(ds.classes[int(lab)])
             d = os.path.join(out_root, cls)
             os.makedirs(d, exist_ok=True)
             arr = (adv[i] * 255.0).round().astype(np.uint8)

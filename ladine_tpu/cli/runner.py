@@ -173,8 +173,17 @@ class Runner:
 
     def eval_param_dtype(self):
         """Compute dtype for eval-time parameter storage, or None (keep the
-        checkpoint dtype)."""
-        return jnp.bfloat16 if self.config.model.dtype == "bfloat16" else None
+        checkpoint dtype). Under an explicit float32 config the answer is
+        float32, not None: light checkpoints STORE bf16 leaves, and a
+        numerics A/B (--fp32) must not silently keep them — upcasting makes
+        the resident weights (and hence all promotion) fp32. The rounding
+        already baked into a bf16-saved checkpoint is of course not
+        recoverable; PARITY.md notes the caveat."""
+        if self.config.model.dtype == "bfloat16":
+            return jnp.bfloat16
+        if self.config.model.dtype == "float32":
+            return jnp.float32
+        return None
 
     def to_eval_vars(self, tree, eval_cast: bool = False):
         """Move a (host) variables tree to device; with ``eval_cast`` and a
@@ -191,7 +200,11 @@ class Runner:
 
         def cast(x):
             x = np.asarray(x)
-            if dt is not None and x.dtype in (np.float32, np.float64):
+            # any float leaf not already in the target dtype: fp32->bf16
+            # (memory) or bf16->fp32 (the --fp32 numerics A/B on
+            # bf16-stored light checkpoints)
+            if dt is not None and jnp.issubdtype(x.dtype, jnp.floating) \
+                    and x.dtype != dt:
                 return jnp.asarray(x, dt)
             return jnp.asarray(x)
 
@@ -892,19 +905,12 @@ class Runner:
         from ladine_tpu.ops import ddim_timesteps
 
         c = self.config
-        from ladine_tpu.train import ema_debias
+        from ladine_tpu.train import ema_read
 
         mu = c.model.ema_rate
-
-        def eval_params(s):
-            if not use_ema:
-                return s.params
-            # legacy (copy-init) accumulators are direct weights
-            return (ema_debias(s.ema, mu, s.step) if ema_mode == "zero"
-                    else s.ema)
-
         variables = jax.vmap(
-            lambda s: {"params": eval_params(s),
+            lambda s: {"params": ema_read(s.ema, mu, s.step, ema_mode)
+                       if use_ema else s.params,
                        "batch_stats": s.batch_stats}
         )(states)
         n_members = jax.tree.leaves(states.step)[0].shape[0]

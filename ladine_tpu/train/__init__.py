@@ -2,6 +2,7 @@ from ladine_tpu.train.ema import (
     ema_debias,
     ema_init,
     ema_params_from_ckpt,
+    ema_read,
     ema_update,
 )
 from ladine_tpu.train.optim import (

@@ -52,6 +52,14 @@ def ema_debias(ema: Any, mu: float, step) -> Any:
     return jax.tree.map(lambda e: (e * scale).astype(e.dtype), ema)
 
 
+def ema_read(ema: Any, mu: float, step, mode: str) -> Any:
+    """THE shadow-weight read convention, in one place: ``mode == "zero"``
+    (this build's checkpoints) debiases the zero-init accumulator by
+    1 - mu^step; any other mode is a legacy copy-initialized shadow whose
+    accumulator IS directly-usable weights."""
+    return ema_debias(ema, mu, step) if mode == "zero" else ema
+
+
 def ema_params_from_ckpt(st: Any, meta: dict) -> Any:
     """EMA weights from a checkpoint's stacked ``states`` tree, debiased iff
     the checkpoint was trained with the zero-initialized accumulator
@@ -66,6 +74,6 @@ def ema_params_from_ckpt(st: Any, meta: dict) -> Any:
             "counter needed for debiasing — re-save it or evaluate raw params"
         )
     mu = float(meta.get("ema_rate", 0.9999))
-    return jax.vmap(lambda e, s: ema_debias(e, mu, s))(
+    return jax.vmap(lambda e, s: ema_read(e, mu, s, "zero"))(
         st["ema"], jnp.asarray(step)
     )

@@ -583,11 +583,12 @@ def main():
     # semantics); one flag re-runs the same row in fp32 (round-3 verdict
     # Next #5). Skipped silently on the tiny config (already fp32).
     cover_fp32 = None
-    if not args.tiny:
+    # only when the bf16 cover row exists to compare against (full suite,
+    # non-tiny): an unpaired fp32 row costs a full-dims process and
+    # supports no A/B conclusion
+    if not args.tiny and "cover" in suite and corr.get("cover") is not None:
         try:
-            f32_suite = {"cover_fp32": suite["cover"] if "cover" in suite
-                         else {"ddim_steps": 50, "ddim_eta": 1.0,
-                               "cover": [0.05, 4]}}
+            f32_suite = {"cover_fp32": suite["cover"]}
             sdir32 = os.path.join(exp, "logs", "suite_fp32")
             run_suite_rows(f32_suite, os.path.join(w, "suite_fp32.json"),
                            sdir32, tflag + common + ["--fp32"], py, cpu, log,
@@ -694,9 +695,12 @@ def main():
         "  the ensemble's out-of-distribution alarm: 4x5% occlusion pushes",
         "  inputs far off the training manifold and the unbounded simplex",
         "  diffusion amplifies. The 'cover, fp32 members' A/B row re-runs the",
-        "  identical evaluation with --fp32 — if its magnitudes match the",
-        "  bf16 row, the blowup is the model's OOD response, not bf16",
-        "  reverse-chain divergence (round-3 verdict Next #5). Zero-fill",
+        "  identical evaluation with --fp32 (weights upcast from the bf16",
+        "  checkpoint — save-time rounding is baked in, but all resident",
+        "  weights, promotion, and the reverse chain run fp32) — if its",
+        "  magnitudes match the bf16 row, the blowup is the model's OOD",
+        "  response, not bf16 reverse-chain divergence (round-3 verdict",
+        "  Next #5). Zero-fill",
         "  semantics match the reference (utils.py:315-348 on [0,1]",
         "  grayscaled tensors).",
     ]

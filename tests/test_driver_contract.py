@@ -34,15 +34,17 @@ def test_bench_tiny_cpu_json_contract():
     assert rec["timing"] in ("sync", "pipelined")
 
 
-def test_bench_full_battery_contract():
+def test_bench_full_battery_contract(tmp_path):
     """Default (no-args) bench emits ALL headline metrics in one record —
     the driver-verified claim set (round-2 verdict Weak #6). --full forces
-    the battery at tiny/CPU scale."""
+    the battery at tiny/CPU scale. cwd is a scratch dir: the battery's
+    incremental partials (evidence/bench_partials.jsonl, CWD-relative) must
+    not deposit smoke records into the repo's evidence channel."""
     out = subprocess.run(
-        [sys.executable, "bench.py", "--cpu", "--tiny", "--full",
-         "--trials", "2", "--batch", "4", "--repeats", "1",
+        [sys.executable, os.path.join(REPO, "bench.py"), "--cpu", "--tiny",
+         "--full", "--trials", "2", "--batch", "4", "--repeats", "1",
          "--timesteps", "20"],
-        capture_output=True, text=True, cwd=REPO, timeout=560,
+        capture_output=True, text=True, cwd=str(tmp_path), timeout=560,
     )
     assert out.returncode == 0, out.stderr[-2000:]
     lines = [l for l in out.stdout.strip().splitlines() if l.strip()]

@@ -114,6 +114,19 @@ def test_light_ckpt_bf16_casts_floats(tmp_path):
     leaf = jax.tree.leaves(tree["states"]["params"])[0]
     assert np.asarray(leaf).dtype == jnp.bfloat16
 
+    # the --fp32 numerics A/B upcasts bf16-STORED weights at load: an fp32
+    # Runner reading this bf16 light checkpoint gets resident fp32 leaves
+    # (save-time rounding is baked in, but all downstream promotion is fp32)
+    from ladine_tpu.cli.runner import Runner
+    from ladine_tpu.config import Config
+
+    r32 = Runner(Config(), log_dir=str(tmp_path / "t3_fp32"), demo=True)
+    assert r32.config.model.dtype == "float32"
+    v32, _, _ = r32.load_members_from_train_ckpt(out["best_ckpt_path"],
+                                                 eval_cast=True)
+    leaf32 = jax.tree.leaves(v32["params"])[0]
+    assert np.asarray(leaf32).dtype == np.float32
+
     # and the flax->torch exporter handles the non-numpy-native dtype
     from ladine_tpu.cli.convert import main as convert_main
 
