@@ -138,6 +138,14 @@ def main():
     # run's epoch count' check (Next #7)
     ema = eval_step("test_ema", ["--test", "--ddim", "25", "--eta", "1.0",
                                  "--eval_ema", "--temperature", str(temp)])
+    # robustness on real data: white-box FGSM on the ViT + gaussian noise
+    # (the reference's test_atk/corruption protocol at reduced scale)
+    atk = eval_step("test_fgsm", ["--test", "--ddim", "25", "--eta", "1.0",
+                                  "--attack_name", "FGSM", "--epsilon", "0.03",
+                                  "--temperature", str(temp)])
+    noise = eval_step("test_noise", ["--test", "--ddim", "25", "--eta", "1.0",
+                                     "--noise_perturbation", "0.1",
+                                     "--temperature", str(temp)])
 
     def pick(r):
         return {k: r.get(k) for k in (
@@ -152,6 +160,8 @@ def main():
         "calibrated_temperature": temp,
         "test": pick(clean),
         "test_ema_debiased": pick(ema),
+        "test_fgsm_eps0.03": pick(atk),
+        "test_noise_0.1": pick(noise),
     }
     with open(os.path.join(w, "digits_summary.json"), "w") as f:
         json.dump(out, f, indent=2)
@@ -190,6 +200,8 @@ def main():
         "|---|---|---|---|---|---|",
         row("clean test (355 instances)", clean),
         row("clean test, DEBIASED EMA weights (--eval_ema)", ema),
+        row("attack: FGSM eps 0.03 (white-box ViT)", atk),
+        row("corruption: gaussian noise 0.1", noise),
         "",
         "Notes: with 10 classes the ensemble confidence is bounded by the",
         "per-sample MC vote agreement rate, which caps achievable ECE —",

@@ -617,6 +617,10 @@ def main():
     lines = [
         "# RESULTS — full-pipeline evidence run (synthetic 224x224, parity dims)",
         "",
+        "> Real-data companion: `evidence/RESULTS_digits.md` — the full three-stage",
+        "> pipeline on a REAL corpus (sklearn's bundled UCI/NIST scanned digits)",
+        "> through the zero-egress ingestion path, incl. the debiased-EMA A/B.",
+        "",
         "The image ships no ChestXRay/ISIC data or reference weights, so this run",
         "uses the brightness-matched synthetic 2-class dataset",
         "(`scripts/make_synth_medical.py`) at the FULL parity dimensions:",
