@@ -81,3 +81,39 @@ def test_load_with_mesh(parts, tmp_path):
     a = Predictor.load(path).predict(images, key=key)
     b = loaded.predict(images, key=key)
     np.testing.assert_allclose(a["probs"], b["probs"], rtol=1e-4, atol=1e-5)
+
+
+def test_mesh_int8_encode_nonlinear_arch_aliases_originals():
+    """With a mesh, use_int8_encode=True, and a NON-'linear' arch (no
+    encoder quantization possible), the Predictor must not pin a duplicate
+    full-size ensemble copy: unquantized trees alias the sharded run trees
+    (ADVICE r3: the aliasing branch used to gate on the flag, not on
+    whether quantization actually ran)."""
+    guidance = SEViTGuidance(
+        num_classes=2, num_members=4, vit_depth=4,
+        img_size=16, patch_size=8, embed_dim=16, num_heads=2,
+        mlp_hidden_dims=(16, 8, 8),
+    )
+    gvars = guidance.init(jax.random.PRNGKey(0), jnp.zeros((1, 16, 16, 3)))
+    model = ConditionalModel(data_dim=768, feature_dim=8, hidden_dim=8,
+                             y_dim=2, n_steps=11, arch="simple")
+    members = [
+        model.init(jax.random.PRNGKey(5 + i), jnp.zeros((1, 768)),
+                   jnp.zeros((1, 2)), jnp.asarray(0), jnp.full((1, 2), 0.5))
+        for i in range(4)
+    ]
+    sched = DiffusionSchedule.create("linear", 10, 1e-4, 0.02)
+    pred = Predictor(
+        guidance=guidance, guidance_vars=gvars, model=model,
+        stacked_vars=stack_members(members), sched=sched, temperature=0.2,
+        mc_trials=2, ddim_steps=5, mesh=make_mesh(8, num_members=4),
+        use_int8_encode=True,
+    )
+    # the encoder tree was never quantized -> originals ARE the run tree
+    assert pred.stacked_vars is pred._rv_s
+    # the mapping heads WERE quantized (all conditioning heads are mapping
+    # heads here) -> float originals kept for save()
+    assert pred.guidance_vars is not pred._rv_g
+    images = np.random.default_rng(3).random((8, 16, 16, 3)).astype(np.float32)
+    out = pred.predict(images, key=jax.random.PRNGKey(6))
+    assert np.isfinite(out["probs"]).all()
