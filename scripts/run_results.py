@@ -192,6 +192,19 @@ def suite_dict(fast: bool) -> dict:
 CORRUPTION_ROWS = ("noise", "noise_hard", "contrast", "lowres", "cover", "crop")
 
 
+def _ema_mode(ckpt_path):
+    """'debiased' for zero-init-accumulator checkpoints, 'legacy copy-init
+    shadow' otherwise — the RESULTS row must say which semantics it
+    measured (a legacy shadow at mu=0.9999 is ~random-init by
+    construction; train/ema.py)."""
+    try:
+        meta = json.load(open(os.path.join(ckpt_path, "ladine_meta.json")))
+        return ("debiased" if meta.get("ema_init") == "zero"
+                else "legacy copy-init shadow")
+    except (OSError, ValueError):
+        return "unknown ema mode"
+
+
 def md_row(name, r):
     if r is None:
         return f"| {name} | — | — | — | — | — |"
@@ -651,7 +664,8 @@ def main():
         "|---|---|---|---|---|---|",
         md_row("clean, full 1000-step chain (parity workload)", clean_full),
         md_row("clean, DDIM-50 eta=1 (serving sampler)", clean_d50),
-        md_row("clean, DDIM-50, EMA weights (--eval_ema)", clean_ema),
+        md_row("clean, DDIM-50, EMA weights (--eval_ema, "
+               f"{_ema_mode(member_ckpts[0])})", clean_ema),
     ]
     if clean_int8 is not None:
         lines.append(md_row("clean, DDIM-50, int8 eps matmuls (--int8)", clean_int8))
@@ -683,13 +697,15 @@ def main():
         "- The full-chain and DDIM-50 rows should agree closely (sampler",
         "  equivalence at eta=1; see examples/gmm_posterior.py for the",
         "  statistical validation).",
-        "- The EMA row uses DEBIASED shadow weights (zero-init accumulator /",
-        "  (1 - mu^t), train/ema.py): an exact weighted average of the",
-        "  post-init trajectory at any step count, so EMA is competitive with",
-        "  raw weights even at this run's epoch counts (the round-3 copy-init",
-        "  shadow was still ~random-init at mu=0.9999). NOTE: only applies to",
-        "  checkpoints trained this round or later (meta ema_init=zero);",
-        "  legacy checkpoints keep direct-read shadows.",
+        "- The EMA row's label says which semantics it measured. 'debiased'",
+        "  = zero-init accumulator / (1 - mu^t) (train/ema.py): an exact",
+        "  weighted average of the post-init trajectory, competitive with",
+        "  raw weights when ema_rate is schedule-matched (synthetic224.yml",
+        "  sets 0.997 for the ~1700-step run; see evidence/RESULTS_digits.md",
+        "  for a measured EMA>raw row). 'legacy copy-init shadow' = a",
+        "  checkpoint from before the debiased accumulator: still ~random-",
+        "  init at mu=0.9999 by construction — a plumbing check, not a",
+        "  usable average.",
         "- Attack rows measure robustness of the nested ensemble to white-box",
         "  attacks on the ViT (the reference's test_atk protocol).",
         "- The DDIM step-sweep rows (25/10) bound how far the serving preset",
