@@ -485,8 +485,36 @@ def _preflight_device(args, timeout_s: float = 180.0) -> None:
         "vs_baseline": 0,
         "error": "accelerator backend unreachable (dead tunnel relay? "
                  "docs/OPERATIONS.md failure modes): " + detail.strip(),
+        **_stale_evidence_fields(),
     }))
     raise SystemExit(2)
+
+
+def _stale_evidence_fields() -> dict:
+    """Context for an unreachable-backend record: the newest
+    hardware-verified battery this repo has on disk, clearly labeled STALE.
+    The value stays 0 (nothing was measured NOW) — this only makes the
+    diagnostic auditable: which numbers exist, from when, where."""
+    import os
+
+    try:
+        path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "evidence", "bench_battery.json")
+        with open(path) as f:
+            rec = json.load(f)
+        names = [rec.get("name")] + [e.get("name")
+                                     for e in rec.get("extra_metrics", [])]
+        return {"last_hardware_evidence": {
+            "stale": True,
+            "file": "evidence/bench_battery.json",
+            "file_mtime_utc": time.strftime(
+                "%Y-%m-%dT%H:%M:%SZ", time.gmtime(os.path.getmtime(path))),
+            "headline": {k: rec.get(k) for k in
+                         ("metric", "value", "unit", "vs_baseline")},
+            "battery_names": [n for n in names if n],
+        }}
+    except (OSError, ValueError):
+        return {}
 
 
 def main():

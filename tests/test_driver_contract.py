@@ -178,3 +178,10 @@ def test_bench_preflight_unreachable_backend():
     rec = json.loads(out.stdout.strip().splitlines()[-1])
     assert REQUIRED_KEYS <= set(rec)
     assert "error" in rec and rec["value"] == 0
+    # the diagnostic embeds the newest on-disk hardware battery, clearly
+    # labeled stale, so a dead-relay round still ships auditable context
+    if os.path.exists(os.path.join(REPO, "evidence", "bench_battery.json")):
+        stale = rec["last_hardware_evidence"]
+        assert stale["stale"] is True
+        assert stale["headline"]["value"] > 0
+        assert stale["battery_names"]
