@@ -167,7 +167,8 @@ def _materialize(shapes, pdtype, scale=0.02):
     parameter structure via eval_shape (zero FLOPs, zero RNG) and fill with
     deterministic small constants directly on the accelerator. (A real RNG
     init of the ~7B fp32 values takes ~30 min of host threefry and 2x the
-    HBM; see git history.)"""
+    HBM; see git history.) Integer leaves (pre-quantized int8 kernels) get
+    small nonzero ints — the fp fill value would round to 0."""
     import jax
     import jax.numpy as jnp
 
@@ -175,6 +176,8 @@ def _materialize(shapes, pdtype, scale=0.02):
 
     def fill(s):
         i[0] += 1
+        if jnp.issubdtype(s.dtype, jnp.integer):
+            return jnp.full(s.shape, (i[0] % 5) - 2, s.dtype)
         # tiny deterministic values keep every activation finite
         val = scale * ((i[0] % 7) - 3) / 3.0
         return jnp.full(s.shape, val, pdtype if s.dtype == jnp.float32 else s.dtype)
@@ -220,11 +223,26 @@ def run_inference(args, ddim, eta, use_int8, use_pallas, label,
     x_flat1 = jnp.zeros((1, img * img * 3), jnp.float32)
 
     g_shapes = jax.eval_shape(lambda: guidance.init(jax.random.PRNGKey(1), images[:1]))
-    gvars = _materialize(g_shapes, pdtype)
     m_shapes = jax.eval_shape(
         lambda: cond.init(jax.random.PRNGKey(2), x_flat1, jnp.zeros((1, 2)),
                           jnp.asarray(0), jnp.full((1, 2), 0.5))
     )
+    if int8_encode:
+        # measure the RESIDENT pre-quantized path the Predictor runs.
+        # Quantize at the SHAPE level and materialize the post-quantization
+        # structure directly: quantize-after-materialize held the bf16 AND
+        # int8 ensembles resident simultaneously (~+4.5 GB) and OOMed the
+        # 16 GB chip on first hardware contact (BENCH r4, config 5/6).
+        from ladine_tpu.kernels.int8 import (
+            quantize_encoder,
+            quantize_mapping_heads,
+        )
+
+        ids = tuple(range(M))
+        m_shapes = jax.eval_shape(quantize_encoder, m_shapes)
+        g_shapes = jax.eval_shape(
+            lambda g: quantize_mapping_heads(g, ids), g_shapes)
+    gvars = _materialize(g_shapes, pdtype)
     one_member = _materialize(m_shapes, pdtype)
     # distinct members are irrelevant for throughput; broadcast-stack
     stacked = jax.tree.map(lambda x: jnp.broadcast_to(x, (M,) + x.shape), one_member)
@@ -232,21 +250,6 @@ def run_inference(args, ddim, eta, use_int8, use_pallas, label,
     stacked = dict(stacked)
     stacked["batch_stats"] = jax.tree.map(jnp.abs, stacked["batch_stats"])
     stacked["batch_stats"] = jax.tree.map(lambda x: x + 1.0, stacked["batch_stats"])
-
-    if int8_encode:
-        # measure the RESIDENT pre-quantized path the Predictor runs —
-        # quantize ONCE here, outside the timed program (in-jit quantization
-        # re-reads the float weights and cannot win bandwidth). Jitted so
-        # the cast/abs/round chain fuses instead of materializing fp32
-        # copies of the 150528x4096 kernels.
-        from ladine_tpu.kernels.int8 import (
-            quantize_encoder,
-            quantize_mapping_heads,
-        )
-
-        ids = tuple(range(M))
-        stacked = jax.jit(jax.vmap(quantize_encoder))(stacked)
-        gvars = jax.jit(lambda g: quantize_mapping_heads(g, ids))(gvars)
 
     @jax.jit
     def infer(gvars, stacked, images, key):
@@ -304,7 +307,8 @@ def run_inference(args, ddim, eta, use_int8, use_pallas, label,
     best = min(sync_best, pipelined)
     img_per_sec = B / best
     mfu = _mfu_fields(infer, (gvars, stacked, images, jax.random.PRNGKey(2)),
-                      B, img_per_sec)
+                      B, img_per_sec,
+                      analytic=_analytic_inference_tflops(args, ddim))
     record = {
         "metric": "ensemble_inference_images_per_sec",
         "value": round(img_per_sec, 3),
@@ -325,34 +329,93 @@ def run_inference(args, ddim, eta, use_int8, use_pallas, label,
     return record
 
 
-# TPU v5e peak: 197 bf16 TFLOP/s per chip (394 int8 TOPS). The MFU figure is
-# derived from XLA's own cost analysis of the compiled program — auditable,
-# not hand-counted (round-3 verdict Next #8). int8 configs are still reported
-# against the bf16 peak (so >100% is possible there by design; the label
-# says which peak was assumed).
+# TPU v5e peak: 197 bf16 TFLOP/s per chip (394 int8 TOPS). int8 configs are
+# still reported against the bf16 peak (so >100% is possible there by
+# design; the label says which peak was assumed).
 V5E_BF16_PEAK_TFLOPS = 197.0
 
 
-def _mfu_fields(jitted, example_args, batch, img_per_sec):
-    """FLOP count of the compiled program via XLA cost analysis -> per-image
-    TFLOPs and model FLOP utilization against the v5e bf16 peak. Lowering
-    re-traces but the compile is a cache hit. Best-effort: returns {} if the
-    backend exposes no cost analysis."""
+def _analytic_inference_tflops(args, ddim: int) -> dict:
+    """Auditable matmul FLOP count of the inference workload, per image
+    (round-3 verdict Next #8). XLA's cost_analysis counts a lax.scan BODY
+    ONCE regardless of trip count, so it understates any reverse-chain
+    program by ~the step count (measured: identical 'flops' for the
+    1000-step and 50-step programs) — the headline TFLOPs must come from an
+    explicit count. Convention: matmul (R,K)@(K,N) = 2*R*K*N FLOPs; only
+    matmuls counted (elementwise/softmax/BN are bandwidth, not FLOPs, and
+    contribute <1%).
+
+    Workload anatomy (engine.py): per image the guidance ViT runs
+    patch-embed + M transformer blocks (heads_subset stops at the deepest
+    tap) + M mapping heads; each member encodes the image ONCE (encoder is
+    t/y-independent — computed outside the trial vmap and timestep scan);
+    the per-step work is the eps y-branch, dominated by two
+    feature_dim^2 matmuls, executed M*K*steps times.
+    """
+    img, patch, embed, _, _, feat, hidden, mlp_dims = _dims(args)
+    M, K, C = args.members, args.trials, 2
+    steps = ddim if ddim else args.timesteps
+    n_tok = (img // patch) ** 2
+    data_dim = img * img * 3
+
+    patch_embed = 2 * n_tok * (patch * patch * 3) * embed
+    # per ViT block: qkv 6NE^2 + proj 2NE^2 + mlp(4x) 16NE^2 + scores/values 4N^2E
+    vit_blocks = M * (24 * n_tok * embed**2 + 4 * n_tok**2 * embed)
+    head_dims = (n_tok * embed,) + tuple(mlp_dims) + (C,)
+    heads = M * sum(2 * a * b for a, b in zip(head_dims[:-1], head_dims[1:]))
+    encode = M * 2 * (data_dim * feat + feat * hidden + hidden * hidden)
+    fixed = patch_embed + vit_blocks + heads + encode
+    # eps y-branch per step: lin1 (2C->F) + lin2 (F^2) + lin3 (F^2) + lin4 (F->C)
+    per_step = 2 * (2 * C * feat + feat * hidden + hidden * hidden + hidden * C)
+    total = fixed + M * K * steps * per_step
+    return {
+        "workload_tflops_per_image": float(f"{total / 1e12:.4g}"),
+        "flops_method": (
+            "analytic matmul count (2*R*K*N): guidance patch-embed + "
+            f"{M} ViT blocks + {M} mapping heads + {M} member encodes "
+            f"(once per image) + {M}x{K}x{steps} eps y-branch steps; "
+            "XLA cost_analysis counts scan bodies once and is reported "
+            "raw under xla_cost_tflops_per_image as a fixed-cost "
+            "cross-check"),
+    }
+
+
+def _mfu_fields(jitted, example_args, batch, img_per_sec, analytic=None):
+    """Per-image TFLOPs and model FLOP utilization against the v5e bf16 peak.
+
+    ``analytic``: the _analytic_inference_tflops dict for scan-based
+    programs — XLA's cost_analysis counts a scan body once, so for those the
+    analytic count is the headline and the XLA number rides along raw as
+    ``xla_cost_tflops_per_image`` (a fixed-cost cross-check). Scan-free
+    programs (the train step) use the XLA count directly. Best-effort on
+    the XLA side: the cost-analysis fields are omitted if the backend
+    exposes none."""
     import jax
 
+    xla_tpi = None
     try:
         compiled = jitted.lower(*example_args).compile()
         cost = compiled.cost_analysis()
         if isinstance(cost, (list, tuple)):
             cost = cost[0]
         flops = float(cost["flops"])
-        if flops <= 0:
-            return {}
+        if flops > 0:
+            xla_tpi = flops / batch / 1e12
     except Exception as e:  # noqa: BLE001 — diagnostics only, never fatal
         print(f"[bench] cost_analysis unavailable: {e}", file=sys.stderr)
-        return {}
-    tflops_per_img = flops / batch / 1e12
-    fields = {"workload_tflops_per_image": float(f"{tflops_per_img:.4g}")}
+
+    fields = {}
+    if analytic is not None:
+        fields.update(analytic)
+        if xla_tpi is not None:
+            fields["xla_cost_tflops_per_image"] = float(f"{xla_tpi:.4g}")
+        tflops_per_img = analytic["workload_tflops_per_image"]
+    elif xla_tpi is not None:
+        fields["workload_tflops_per_image"] = float(f"{xla_tpi:.4g}")
+        fields["flops_method"] = "XLA cost_analysis of the compiled program"
+        tflops_per_img = xla_tpi
+    else:
+        return fields
     if jax.devices()[0].platform != "cpu":
         fields["mfu_pct"] = round(
             100.0 * img_per_sec * tflops_per_img / V5E_BF16_PEAK_TFLOPS, 1)
