@@ -17,7 +17,10 @@ complete, driver-verified claim set:
      (RESULTS.md step-sweep: DDIM-10 at accuracy/ECE parity with DDIM-50).
   5. ddim10-int8-encode — + pre-quantized RESIDENT int8 enc_lin1 and
      mapping-head linear1 (the per-image fixed cost, kernels/int8.py).
-  6. train-step         — full-size member training step (antithetic t,
+  6. ddim10-int8-encode-maxbatch — config 5 at 4x the parity batch (280),
+     the knee of the measured batch sweep (throughput serving point; the
+     parity protocol stays batch 70 everywhere else).
+  7. train-step         — full-size member training step (antithetic t,
      q_sample, eps fwd+bwd, clip, Adam, EMA), fp32 state.
 
 Each completed battery record is ALSO appended to
@@ -186,10 +189,11 @@ def _materialize(shapes, pdtype, scale=0.02):
 
 
 def run_inference(args, ddim, eta, use_int8, use_pallas, label,
-                  int8_encode=False):
+                  int8_encode=False, batch=None):
     """One inference configuration; returns its self-describing record.
-    All device buffers are dropped before returning (the train bench needs
-    the HBM)."""
+    ``batch`` overrides args.batch for this config only (the max-throughput
+    battery point). All device buffers are dropped before returning (the
+    train bench needs the HBM)."""
     import jax
     import jax.numpy as jnp
 
@@ -199,7 +203,8 @@ def run_inference(args, ddim, eta, use_int8, use_pallas, label,
 
     img, patch, embed, heads_n, depth, feat, hidden, mlp_dims = _dims(args)
     dtype = jnp.bfloat16 if not args.cpu else None
-    M, B, K, T = args.members, args.batch, args.trials, args.timesteps
+    M, B, K, T = (args.members, batch or args.batch, args.trials,
+                  args.timesteps)
 
     guidance = SEViTGuidance(
         num_classes=2, num_members=M, vit_depth=depth,
@@ -650,6 +655,16 @@ def _run_battery(args):
         ("serving_ddim10_int8_encode",
          lambda: run_inference(args, 10, 1.0, True, False,
                                "ddim10-int8-encode", int8_encode=True)),
+        # max-throughput point of the measured batch sweep (one v5e chip,
+        # 2026-08-18: batch 70/140/280/420 = 1414/1600/1662/1544 img/s,
+        # 560 OOMs the 16 GB chip): the per-batch fixed cost (int8 weight
+        # stream + guidance) amortizes up to 4x the parity protocol's
+        # batch 70, then XLA tiling falls off. Offline/bulk scoring that
+        # can batch to 280 gets +18% over the parity-batch preset free.
+        ("serving_ddim10_int8_encode_maxbatch",
+         lambda: run_inference(args, 10, 1.0, True, False,
+                               "ddim10-int8-encode-maxbatch",
+                               int8_encode=True, batch=args.batch * 4)),
         ("train_step", lambda: train_bench(args)),
     ]
     fail_after = int(os.environ.get("LADINE_BENCH_FAIL_AFTER", "0") or 0)
