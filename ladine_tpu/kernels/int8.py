@@ -87,14 +87,27 @@ def int8_eps(
     y_hat: jnp.ndarray,
 ) -> jnp.ndarray:
     """eps forward with int8 lin2/lin3 (the >99%-of-FLOPs layers); lin1/lin4
-    and all affines stay fp32. Mirrors kernels/fused_eps.fused_eps."""
+    and all affines compute in fp32. Mirrors kernels/fused_eps.fused_eps.
+
+    The hidden-size intermediates are STORED in the model's compute dtype
+    (``f.dtype`` — bf16 on TPU, fp32 on CPU): each (R, hidden) tensor the
+    scan body materializes costs an HBM round trip, and at serving shapes
+    that elementwise traffic is ~half the measured per-step time (B=280
+    sweep, 2026-08-18: 9.5 ms/step vs the ~4.8 ms int8 GEMM floor) — fp32
+    storage doubles it for precision the path cannot use, because h is
+    about to be rounded to int8 anyway (per-row max-abs, >=0.4% rel) and
+    the bf16 non-int8 path already matches fp32 accuracy to four decimals
+    (RESULTS.md int8/bf16 rows). Scale math and accumulation stay fp32."""
     params = qvars["params"]
     stats = qvars["batch_stats"]
+    cdtype = f.dtype
     y_in = jnp.concatenate([y, y_hat], axis=-1)
 
     w1, a1, c1 = _fold(params["lin1"], params["unetnorm1"], stats["unetnorm1"], t)
-    h = jax.nn.softplus(jnp.dot(y_in, w1, preferred_element_type=jnp.float32) * a1 + c1)
-    h = f.astype(jnp.float32) * h
+    h = jax.nn.softplus(
+        jnp.dot(y_in, w1, preferred_element_type=jnp.float32) * a1 + c1
+    ).astype(cdtype)
+    h = f * h
 
     for i, (name, bn) in enumerate((("lin2", "unetnorm2"), ("lin3", "unetnorm3"))):
         # _fold's (a, c) absorb the timestep gate, the linear bias and the
@@ -105,7 +118,7 @@ def int8_eps(
         _, a, c = _fold(params[name], params[bn], stats[bn], t)
         w_q, w_scale, w_colsum = qvars["int8"][name]
         z = int8_matmul(h, w_q, w_scale, w_colsum=w_colsum if i == 1 else None) * a + c
-        h = jax.nn.softplus(z)
+        h = jax.nn.softplus(z).astype(cdtype)
 
     dense4 = params["lin4"]["Dense_0"]
     return jnp.dot(h, dense4["kernel"], preferred_element_type=jnp.float32) + dense4["bias"]

@@ -52,6 +52,28 @@ def test_int8_eps_close_to_fp(cm):
     assert err < 0.05, f"int8 eps relative error {err:.3f}"
 
 
+def test_int8_eps_bf16_intermediates(cm):
+    """On TPU the model computes in bf16, so int8_eps stores its hidden-size
+    intermediates in f.dtype (halves the per-step elementwise HBM traffic —
+    ~half the measured step time at serving shapes). Pin the semantics on
+    CPU by passing bf16 features: output dtype follows f, and the extra
+    bf16 rounding stays within the int8 path's own error budget."""
+    model, v, x, y, yhat = cm
+    f = model.apply(v, x, method="encode")
+    ref = model.apply(v, f, y, jnp.asarray(5), yhat, method="eps")
+    qv = quantize_member(v)
+    got16 = int8_eps(qv, f.astype(jnp.bfloat16), y.astype(jnp.bfloat16),
+                     jnp.asarray(5), yhat.astype(jnp.bfloat16))
+    err = float(
+        jnp.abs(got16.astype(jnp.float32) - ref).mean()
+        / (jnp.abs(ref).mean() + 1e-8)
+    )
+    assert err < 0.07, f"bf16-intermediate int8 eps relative error {err:.3f}"
+    # and the fp32 CPU behavior is unchanged: intermediates follow f.dtype
+    got32 = int8_eps(qv, f, y, jnp.asarray(5), yhat)
+    assert got32.dtype == jnp.float32
+
+
 def test_int8_sampler_runs(cm):
     model, v, x, y, yhat = cm
     sched = DiffusionSchedule.create("linear", 10, 1e-4, 0.02)
