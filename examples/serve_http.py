@@ -70,6 +70,11 @@ def main():
                     help="serve over ALL visible devices: member-sharded "
                          "ensemble + data-sharded request batches "
                          "(('member','data') mesh, infer/serve.py)")
+    ap.add_argument("--preset", type=str, default=None,
+                    choices=["parity", "serving", "fast"],
+                    help="named sampler/quantization operating point "
+                         "(infer/serve.py PRESETS); default: the artifact's "
+                         "saved settings")
     args = ap.parse_args()
 
     import jax
@@ -102,7 +107,7 @@ def main():
             hi = meta.get("head_indices")
             n_members = len(hi) if hi else meta["guidance"]["num_members"]
             mesh = make_mesh(len(jax.devices()), num_members=n_members)
-        predictor = Predictor.load(args.artifact, mesh=mesh)
+        predictor = Predictor.load(args.artifact, preset=args.preset, mesh=mesh)
     else:
         ap.error("pass --artifact PATH or --demo")
     size = predictor.guidance.img_size

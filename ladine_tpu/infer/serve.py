@@ -32,6 +32,28 @@ from ladine_tpu.ops.diffusion import ddim_timesteps
 from ladine_tpu.ops.schedules import DiffusionSchedule
 
 
+# Named serving presets for Predictor.load(path, preset=...). Each is an
+# evidence-validated operating point of the same artifact (RESULTS.md /
+# evidence/bench_battery_r4b.json; one v5e chip, batch 70):
+#   parity  — the reference's exact test-time program: full ancestral chain,
+#             bf16 (21.2 img/s; what every parity table row uses).
+#   serving — 50-step stochastic strided sampler + int8 eps matmuls
+#             (504.6 img/s; int8 row matches bf16 to 4 decimals).
+#   fast    — 10-step sampler + int8 eps + resident int8 encoder/heads
+#             (1590.9 img/s, 1943.8 at batch 280). Step count validated by
+#             the evidence step sweep (DDIM-10 at DDIM-50 accuracy/ECE) and
+#             the int8_enc suite row.
+# A preset only sets sampler/quantization knobs — temperature, trials and
+# head wiring always come from the artifact.
+PRESETS = {
+    "parity": dict(ddim_steps=0, use_int8=False, use_int8_encode=False),
+    "serving": dict(ddim_steps=50, ddim_eta=1.0, skip_type="uniform",
+                    use_int8=True, use_int8_encode=False),
+    "fast": dict(ddim_steps=10, ddim_eta=1.0, skip_type="uniform",
+                 use_int8=True, use_int8_encode=True),
+}
+
+
 @dataclasses.dataclass
 class Predictor:
     guidance: SEViTGuidance
@@ -287,8 +309,15 @@ class Predictor:
         )
 
     @classmethod
-    def load(cls, path: str, **overrides) -> "Predictor":
+    def load(cls, path: str, preset: Optional[str] = None, **overrides) -> "Predictor":
+        """Load a saved predictor artifact. ``preset`` applies a named
+        sampler/quantization operating point (see PRESETS) on top of the
+        artifact's saved settings; explicit ``overrides`` win over both."""
         from ladine_tpu.utils.checkpoint import load_checkpoint
+
+        if preset is not None and preset not in PRESETS:
+            raise ValueError(
+                f"unknown preset {preset!r}; available: {sorted(PRESETS)}")
 
         tree, meta = load_checkpoint(path)
         g = meta["guidance"]
@@ -308,11 +337,14 @@ class Predictor:
             **{k: jnp.asarray(v) for k, v in tree["schedule"].items()}
         )
         hi = meta.get("head_indices")
-        if "ddim_eta" not in meta:
+        if ("ddim_eta" not in meta and "ddim_eta" not in overrides
+                and preset is None):
             # legacy artifacts (saved before ddim_eta existed) executed
             # eta=0.0 and were calibrated under it — preserve that behavior
             # rather than silently switching samplers (override via
-            # load(..., ddim_eta=...) to opt in to the new default)
+            # load(..., ddim_eta=...) or a preset to opt in to the new
+            # default; in those cases the caller chose the eta, so the
+            # legacy default never applies and the warning would mislead)
             import warnings
 
             warnings.warn(
@@ -329,6 +361,8 @@ class Predictor:
             use_int8_encode=meta.get("use_int8_encode", False),
             head_indices=tuple(hi) if hi else None,
         )
+        if preset is not None:
+            kwargs.update(PRESETS[preset])
         kwargs.update(overrides)
         return cls(
             guidance=guidance, guidance_vars=tree["guidance"],

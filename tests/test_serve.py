@@ -116,3 +116,34 @@ def test_load_with_overrides(predictor, tmp_path):
     loaded = Predictor.load(path, mc_trials=4, temperature=0.5)
     assert loaded.mc_trials == 4
     assert loaded.temperature == 0.5
+
+
+def test_load_presets(predictor, tmp_path):
+    """Named operating points: preset sets sampler/quantization knobs,
+    artifact keeps temperature/trials/heads, explicit overrides win."""
+    import pytest
+
+    from ladine_tpu.infer.serve import PRESETS
+
+    path = str(tmp_path / "artifact3")
+    predictor.save(path)
+
+    fast = Predictor.load(path, preset="fast")
+    assert (fast.ddim_steps, fast.ddim_eta) == (10, 1.0)
+    assert fast.use_int8 and fast.use_int8_encode
+    assert fast.temperature == predictor.temperature  # artifact-owned
+    images = np.random.default_rng(3).random((2, 16, 16, 3)).astype(np.float32)
+    out = fast.predict(images, key=jax.random.PRNGKey(0))
+    assert np.isfinite(out["probs"]).all()
+
+    parity = Predictor.load(path, preset="parity")
+    assert parity.ddim_steps == 0 and not parity.use_int8
+
+    # explicit override beats the preset
+    tweaked = Predictor.load(path, preset="fast", ddim_steps=25)
+    assert tweaked.ddim_steps == 25 and tweaked.use_int8
+
+    with pytest.raises(ValueError, match="unknown preset"):
+        Predictor.load(path, preset="turbo")
+
+    assert set(PRESETS) == {"parity", "serving", "fast"}
