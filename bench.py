@@ -694,10 +694,15 @@ def _run_battery(args):
         # stream + guidance) amortizes up to 4x the parity protocol's
         # batch 70, then XLA tiling falls off. Offline/bulk scoring that
         # can batch to 280 gets +18% over the parity-batch preset free.
+        # 4x the battery batch, capped at the measured 280 ABSOLUTE knee:
+        # the sweep records batch 420 regressing (tiling falloff) and 560
+        # OOMing the 16 GB chip, so a non-default --batch must never push
+        # this config past the validated point
         ("serving_ddim10_int8_encode_maxbatch",
          lambda: run_inference(args, 10, 1.0, True, False,
                                "ddim10-int8-encode-maxbatch",
-                               int8_encode=True, batch=args.batch * 4)),
+                               int8_encode=True,
+                               batch=min(args.batch * 4, 280))),
         ("train_step", lambda: train_bench(args)),
     ]
     fail_after = int(os.environ.get("LADINE_BENCH_FAIL_AFTER", "0") or 0)

@@ -35,7 +35,10 @@ from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 import numpy as np
 
 
-def build_demo_predictor(mesh=None):
+def build_demo_predictor(mesh=None, **overrides):
+    """``overrides``: Predictor constructor knobs — e.g. a PRESETS dict, so
+    --preset applies to the demo predictor too instead of being silently
+    ignored."""
     import jax
     import jax.numpy as jnp
 
@@ -49,10 +52,12 @@ def build_demo_predictor(mesh=None):
     m = ConditionalModel(data_dim=768, feature_dim=8, hidden_dim=8, y_dim=2, n_steps=101)
     members = [m.init(jax.random.PRNGKey(i), jnp.zeros((1, 768)), jnp.zeros((1, 2)),
                       jnp.asarray(0), jnp.full((1, 2), 0.5)) for i in range(3)]
+    kwargs = dict(mc_trials=4, ddim_steps=10)
+    kwargs.update(overrides)
     return Predictor(guidance=g, guidance_vars=gv, model=m,
                      stacked_vars=stack_members(members),
                      sched=DiffusionSchedule.create("linear", 100),
-                     mc_trials=4, ddim_steps=10, mesh=mesh)
+                     mesh=mesh, **kwargs)
 
 
 def main():
@@ -87,8 +92,11 @@ def main():
     if args.mesh:
         from ladine_tpu.parallel import make_mesh
     if args.demo:
+        from ladine_tpu.infer.serve import PRESETS
+
         mesh = make_mesh(len(jax.devices()), num_members=3) if args.mesh else None
-        predictor = build_demo_predictor(mesh=mesh)
+        predictor = build_demo_predictor(
+            mesh=mesh, **(PRESETS[args.preset] if args.preset else {}))
     elif args.artifact:
         mesh = None
         if args.mesh:

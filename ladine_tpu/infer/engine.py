@@ -75,8 +75,12 @@ def member_mc_sample(
         # win; float trees quantize in-jit (numerics only)
         from ladine_tpu.kernels.int8 import int8_encode
 
+        # f's dtype drives the whole scan's intermediate storage (int8_eps
+        # keys its hidden tensors off f.dtype) — follow the model's COMPUTE
+        # dtype when set, falling back to the stored param dtype (an fp32
+        # artifact served with model.dtype=bf16 must still run bf16)
         w_dtype = member_vars["params"]["enc_lin3"]["Dense_0"]["kernel"].dtype
-        f = int8_encode(member_vars, x_flat).astype(w_dtype)
+        f = int8_encode(member_vars, x_flat).astype(model.dtype or w_dtype)
     else:
         f = model.apply(member_vars, x_flat, method="encode")
     y_T_mean = jnp.zeros_like(y0_hat) if noise_prior else y0_hat

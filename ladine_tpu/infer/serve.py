@@ -261,6 +261,14 @@ class Predictor:
 
     # ------------------------------------------------------------ artifact io
 
+    @staticmethod
+    def _dtype_name(dt) -> Optional[str]:
+        return None if dt is None else jnp.dtype(dt).name
+
+    @staticmethod
+    def _dtype_from_name(name):
+        return None if name is None else jnp.dtype(name).type
+
     def save(self, path: str) -> None:
         from ladine_tpu.utils.checkpoint import save_checkpoint
 
@@ -275,6 +283,11 @@ class Predictor:
             "use_int8": self.use_int8,
             "use_int8_encode": self.use_int8_encode,
             "head_indices": list(self.head_indices) if self.head_indices else None,
+            # the COMPUTE dtype is part of the artifact: dropping it on
+            # reload silently rebuilt bf16-run models as fp32 compute, so a
+            # served predictor never ran the program the throughput/accuracy
+            # evidence was measured on
+            "dtype": self._dtype_name(self.model.dtype),
             "guidance": {
                 "num_classes": self.guidance.num_classes,
                 "num_members": self.guidance.num_members,
@@ -284,6 +297,7 @@ class Predictor:
                 "embed_dim": self.guidance.embed_dim,
                 "num_heads": self.guidance.num_heads,
                 "mlp_hidden_dims": list(self.guidance.mlp_hidden_dims),
+                "dtype": self._dtype_name(self.guidance.dtype),
             },
             "model": {
                 "data_dim": self.model.data_dim,
@@ -309,10 +323,16 @@ class Predictor:
         )
 
     @classmethod
-    def load(cls, path: str, preset: Optional[str] = None, **overrides) -> "Predictor":
+    def load(cls, path: str, preset: Optional[str] = None,
+             dtype: Any = "artifact", **overrides) -> "Predictor":
         """Load a saved predictor artifact. ``preset`` applies a named
         sampler/quantization operating point (see PRESETS) on top of the
-        artifact's saved settings; explicit ``overrides`` win over both."""
+        artifact's saved settings; explicit ``overrides`` win over both.
+        ``dtype``: compute dtype for the rebuilt modules — the default
+        ``"artifact"`` restores the dtype the predictor was SAVED with
+        (legacy artifacts without the field reload as fp32-compute, their
+        historical behavior); pass ``"bfloat16"``/``"float32"``/``None``
+        to override."""
         from ladine_tpu.utils.checkpoint import load_checkpoint
 
         if preset is not None and preset not in PRESETS:
@@ -321,30 +341,38 @@ class Predictor:
 
         tree, meta = load_checkpoint(path)
         g = meta["guidance"]
+        if dtype == "artifact":
+            g_dtype = cls._dtype_from_name(g.get("dtype", meta.get("dtype")))
+            m_dtype = cls._dtype_from_name(meta.get("dtype"))
+        else:
+            g_dtype = m_dtype = cls._dtype_from_name(dtype)
         guidance = SEViTGuidance(
             num_classes=g["num_classes"], num_members=g["num_members"],
             vit_depth=g["vit_depth"], img_size=g["img_size"], patch_size=g["patch_size"],
             embed_dim=g["embed_dim"], num_heads=g["num_heads"],
-            mlp_hidden_dims=tuple(g["mlp_hidden_dims"]),
+            mlp_hidden_dims=tuple(g["mlp_hidden_dims"]), dtype=g_dtype,
         )
         m = meta["model"]
         model = ConditionalModel(
             data_dim=m["data_dim"], feature_dim=m["feature_dim"],
             hidden_dim=m["hidden_dim"], y_dim=m["y_dim"], n_steps=m["n_steps"],
             arch=m.get("arch", "linear"), guidance=m.get("guidance", True),
+            dtype=m_dtype,
         )
         sched = DiffusionSchedule(
             **{k: jnp.asarray(v) for k, v in tree["schedule"].items()}
         )
         hi = meta.get("head_indices")
         if ("ddim_eta" not in meta and "ddim_eta" not in overrides
-                and preset is None):
+                and (preset is None or "ddim_eta" not in PRESETS[preset])):
             # legacy artifacts (saved before ddim_eta existed) executed
             # eta=0.0 and were calibrated under it — preserve that behavior
             # rather than silently switching samplers (override via
-            # load(..., ddim_eta=...) or a preset to opt in to the new
-            # default; in those cases the caller chose the eta, so the
-            # legacy default never applies and the warning would mislead)
+            # load(..., ddim_eta=...) or an eta-setting preset to opt in to
+            # the new default; in those cases the caller chose the eta, so
+            # the legacy default never applies and the warning would
+            # mislead — but a preset that does NOT set eta, like "parity",
+            # must not suppress it)
             import warnings
 
             warnings.warn(

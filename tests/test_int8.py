@@ -56,8 +56,10 @@ def test_int8_eps_bf16_intermediates(cm):
     """On TPU the model computes in bf16, so int8_eps stores its hidden-size
     intermediates in f.dtype (halves the per-step elementwise HBM traffic —
     ~half the measured step time at serving shapes). Pin the semantics on
-    CPU by passing bf16 features: output dtype follows f, and the extra
-    bf16 rounding stays within the int8 path's own error budget."""
+    CPU by passing bf16 features: the OUTPUT is always fp32 (the final dot
+    accumulates with preferred_element_type=float32; the engine casts back
+    to f.dtype), and the extra bf16 rounding of the intermediates stays
+    within the int8 path's own error budget."""
     model, v, x, y, yhat = cm
     f = model.apply(v, x, method="encode")
     ref = model.apply(v, f, y, jnp.asarray(5), yhat, method="eps")
@@ -69,7 +71,8 @@ def test_int8_eps_bf16_intermediates(cm):
         / (jnp.abs(ref).mean() + 1e-8)
     )
     assert err < 0.07, f"bf16-intermediate int8 eps relative error {err:.3f}"
-    # and the fp32 CPU behavior is unchanged: intermediates follow f.dtype
+    # output accumulation is fp32 regardless of the intermediate dtype
+    assert got16.dtype == jnp.float32
     got32 = int8_eps(qv, f, y, jnp.asarray(5), yhat)
     assert got32.dtype == jnp.float32
 

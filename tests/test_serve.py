@@ -118,6 +118,39 @@ def test_load_with_overrides(predictor, tmp_path):
     assert loaded.temperature == 0.5
 
 
+def test_load_restores_compute_dtype(predictor, tmp_path):
+    """The compute dtype is part of the artifact: a bf16-run predictor must
+    reload as bf16 compute (dropping it silently rebuilt fp32 modules, so
+    served programs never matched the measured bf16/int8 evidence).
+    Legacy artifacts without the field keep their historical fp32 reload;
+    load(dtype=...) overrides either way."""
+    import dataclasses as dc
+    import json
+
+    bf16 = dc.replace(
+        predictor,
+        guidance=predictor.guidance.copy(dtype=jnp.bfloat16),
+        model=predictor.model.copy(dtype=jnp.bfloat16),
+    )
+    path = str(tmp_path / "bf16_artifact")
+    bf16.save(path)
+    loaded = Predictor.load(path)
+    assert loaded.model.dtype == jnp.bfloat16
+    assert loaded.guidance.dtype == jnp.bfloat16
+    # explicit override wins
+    fp32 = Predictor.load(path, dtype="float32")
+    assert fp32.model.dtype == jnp.float32
+
+    # legacy artifact: strip the dtype fields from the meta on disk
+    meta_path = tmp_path / "bf16_artifact" / "ladine_meta.json"
+    meta = json.loads(meta_path.read_text())
+    meta.pop("dtype", None)
+    meta["guidance"].pop("dtype", None)
+    meta_path.write_text(json.dumps(meta))
+    legacy = Predictor.load(path)
+    assert legacy.model.dtype is None and legacy.guidance.dtype is None
+
+
 def test_load_presets(predictor, tmp_path):
     """Named operating points: preset sets sampler/quantization knobs,
     artifact keeps temperature/trials/heads, explicit overrides win."""
