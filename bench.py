@@ -116,6 +116,13 @@ def parse_args():
                     help="int8 weights+activations for the two big eps "
                          "matmuls (2x MXU OPS on v5e)")
     ap.add_argument("--unroll", type=int, default=1, help="reverse-scan unroll factor")
+    ap.add_argument("--latency", type=int, default=0,
+                    help="focused runs: ALSO measure per-request latency "
+                         "percentiles over N synchronous calls (online-"
+                         "serving lens; batch via --batch). Through the "
+                         "remote tunnel each sync call carries a ~30 ms "
+                         "host round trip that direct-attached chips do "
+                         "not pay — the record says so.")
     ap.add_argument("--train", action="store_true",
                     help="benchmark the diffusion-member training step only")
     ap.add_argument("--full", action="store_true",
@@ -329,6 +336,30 @@ def run_inference(args, ddim, eta, use_int8, use_pallas, label,
         "pipelined_s": round(pipelined, 4),
         **mfu,
     }
+    if getattr(args, "latency", 0):
+        # online-serving lens: one request = one synchronous round trip
+        # (distinct keys so the remote runtime cannot dedupe dispatches)
+        lat = []
+        for r in range(args.latency):
+            t0 = time.time()
+            o = infer(gvars, stacked, images, jax.random.PRNGKey(1000 + r))
+            o.block_until_ready()
+            lat.append(time.time() - t0)
+        lat.sort()
+
+        def pct(p):
+            return round(lat[min(len(lat) - 1, int(p * len(lat)))] * 1e3, 1)
+
+        record.update({
+            "latency_ms_p50": pct(0.50),
+            "latency_ms_p90": pct(0.90),
+            "latency_ms_p99": pct(0.99),
+            "latency_samples": len(lat),
+            "latency_note": ("synchronous per-request wall time incl. the "
+                             "host dispatch round trip (~30 ms through the "
+                             "remote tunnel; near-zero direct-attached — "
+                             "compare pipelined_s for device-side cost)"),
+        })
     # drop device buffers before the next section materializes its state
     del gvars, stacked, one_member, out, outs, infer
     return record

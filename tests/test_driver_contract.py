@@ -73,6 +73,23 @@ def test_bench_full_battery_contract(tmp_path):
     assert rec.get("workload_tflops_per_image", 1) > 0
 
 
+def test_bench_latency_fields():
+    """--latency N adds per-request percentile fields to a focused record
+    (online-serving lens), without disturbing the one-JSON-line contract."""
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "bench.py"), "--cpu", "--tiny",
+         "--ddim", "3", "--int8", "--latency", "5", "--trials", "2",
+         "--repeats", "1", "--timesteps", "10"],
+        capture_output=True, text=True, cwd=REPO, timeout=560,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    lines = [l for l in out.stdout.strip().splitlines() if l.strip()]
+    assert len(lines) == 1
+    rec = json.loads(lines[0])
+    assert rec["latency_samples"] == 5
+    assert 0 < rec["latency_ms_p50"] <= rec["latency_ms_p90"] <= rec["latency_ms_p99"]
+
+
 def test_bench_analytic_flops_scale_with_steps():
     """The headline TFLOPs/image must come from the analytic matmul count:
     XLA's cost_analysis counts a lax.scan body ONCE regardless of trip
