@@ -15,5 +15,5 @@ from ladine_tpu.infer.evaluator import (
     evaluate_ensemble,
     make_eval_pipeline,
 )
-from ladine_tpu.infer.serve import Predictor
+from ladine_tpu.infer.serve import ExportedPredictor, Predictor
 from ladine_tpu.infer.batching import MicroBatcher

@@ -179,6 +179,8 @@ class Predictor:
             )[:, 0]
             return probs, mv, piw, var
 
+        # handle for export_serving (AOT deployment bundles)
+        self._raw_fn = _raw
         if self.mesh is None:
             self._run = jax.jit(_raw)
         else:
@@ -322,6 +324,65 @@ class Predictor:
             meta,
         )
 
+    def export_serving(self, path: str, batch_sizes=(70,)) -> None:
+        """AOT deployment bundle: serialized StableHLO serving programs
+        (``jax.export``, one per batch size) + the RUN weight trees (the
+        pre-quantized int8 forms when enabled) + meta. Reload with
+        ``ExportedPredictor.load`` — serving then needs no Flax model code,
+        no tracing, and cannot diverge from the program that was validated.
+        The reference has no deployment story at all (its inference exists
+        only inside the evaluation loop); this is the TPU-native one.
+
+        Fixed shapes by design (XLA serving programs are shape-specialized;
+        the MicroBatcher pads to its cap, so one batch size per cap is
+        enough). Single-topology: export the unsharded program — mesh
+        serving reconstructs a Predictor with ``mesh=`` instead."""
+        if self.mesh is not None:
+            raise ValueError(
+                "export_serving bundles the single-device program; "
+                "mesh serving loads a Predictor with mesh= instead")
+        import os
+
+        from jax import export as jexport
+
+        from ladine_tpu.utils.checkpoint import save_checkpoint
+
+        s = self.guidance.img_size
+        spec = lambda tree: jax.tree.map(  # noqa: E731
+            lambda x: jax.ShapeDtypeStruct(jnp.shape(x), jnp.asarray(x).dtype),
+            tree)
+        key_spec = spec(jax.random.PRNGKey(0))
+        os.makedirs(os.path.join(path, "programs"), exist_ok=True)
+        for b in batch_sizes:
+            exported = jexport.export(jax.jit(self._raw_fn))(
+                spec(self._rv_g), spec(self._rv_s),
+                jax.ShapeDtypeStruct((int(b), s, s, 3), jnp.float32),
+                key_spec,
+            )
+            with open(os.path.join(path, "programs", f"serving_b{int(b)}.bin"),
+                      "wb") as f:
+                f.write(exported.serialize())
+        save_checkpoint(
+            os.path.join(path, "weights"),
+            {"gvars": self._rv_g, "stacked": self._rv_s},
+            {
+                "kind": "exported_predictor",
+                "batch_sizes": [int(b) for b in batch_sizes],
+                "img_size": int(s),
+                "seed": int(self.seed),
+                "settings": {
+                    "temperature": self.temperature,
+                    "mc_trials": self.mc_trials,
+                    "ddim_steps": self.ddim_steps,
+                    "ddim_eta": self.ddim_eta,
+                    "use_int8": self.use_int8,
+                    "use_int8_encode": self.use_int8_encode,
+                },
+                "jax_version": jax.__version__,
+                "platforms": list(exported.platforms),
+            },
+        )
+
     @classmethod
     def load(cls, path: str, preset: Optional[str] = None,
              dtype: Any = "artifact", **overrides) -> "Predictor":
@@ -396,3 +457,75 @@ class Predictor:
             guidance=guidance, guidance_vars=tree["guidance"],
             model=model, stacked_vars=tree["members"], sched=sched, **kwargs,
         )
+
+
+@dataclasses.dataclass
+class ExportedPredictor:
+    """Serve a ``Predictor.export_serving`` bundle: deserialized StableHLO
+    programs + run weight trees. No Flax, no model classes, no tracing —
+    the served program is byte-identical to the exported (validated) one.
+
+    Fixed batch sizes by design; ``predict`` dispatches on the request's
+    batch size and refuses sizes the bundle does not carry (front it with
+    ``MicroBatcher(pad_to=...)`` or export the sizes you serve)."""
+
+    programs: Dict[int, Any]
+    gvars: Any
+    stacked: Any
+    settings: Dict[str, Any]
+    img_size: int
+    seed: int = 0
+
+    def __post_init__(self):
+        import itertools
+
+        self._counter = itertools.count()
+
+    @classmethod
+    def load(cls, path: str) -> "ExportedPredictor":
+        import glob
+        import os
+
+        from jax import export as jexport
+
+        from ladine_tpu.utils.checkpoint import load_checkpoint
+
+        tree, meta = load_checkpoint(os.path.join(path, "weights"))
+        if meta.get("kind") != "exported_predictor":
+            raise ValueError(
+                f"{path} is not an export_serving bundle "
+                f"(kind: {meta.get('kind', 'unknown')})")
+        programs = {}
+        for p in glob.glob(os.path.join(path, "programs", "serving_b*.bin")):
+            b = int(os.path.basename(p)[len("serving_b"):-len(".bin")])
+            with open(p, "rb") as f:
+                programs[b] = jexport.deserialize(f.read())
+        if not programs:
+            raise ValueError(f"no serving programs under {path}/programs")
+        return cls(programs=programs, gvars=tree["gvars"],
+                   stacked=tree["stacked"], settings=meta["settings"],
+                   img_size=int(meta["img_size"]),
+                   seed=int(meta.get("seed", 0)))
+
+    def predict(self, images: np.ndarray, key: Optional[jax.Array] = None) -> Dict[str, np.ndarray]:
+        s = self.img_size
+        if images.ndim != 4 or images.shape[1:] != (s, s, 3):
+            raise ValueError(
+                f"predict expects images of shape (B, {s}, {s}, 3); got {images.shape}")
+        b = images.shape[0]
+        if b not in self.programs:
+            raise ValueError(
+                f"bundle has programs for batch sizes "
+                f"{sorted(self.programs)}, got {b} — pad/split the request "
+                f"or re-export with batch_sizes=({b},)")
+        if key is None:
+            key = jax.random.fold_in(
+                jax.random.PRNGKey(self.seed), next(self._counter))
+        probs, mv, piw, var = self.programs[b].call(
+            self.gvars, self.stacked, jnp.asarray(images, jnp.float32), key)
+        return {
+            "probs": np.asarray(probs),
+            "majority_vote": np.asarray(mv),
+            "piw": np.asarray(piw),
+            "mc_variance": np.asarray(var),
+        }

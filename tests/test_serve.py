@@ -180,3 +180,72 @@ def test_load_presets(predictor, tmp_path):
         Predictor.load(path, preset="turbo")
 
     assert set(PRESETS) == {"parity", "serving", "fast"}
+
+
+def test_export_serving_bundle(predictor, tmp_path):
+    """AOT deployment bundle: the deserialized StableHLO program must
+    reproduce the live Predictor bit-for-bit (same weights, same key),
+    refuse unknown batch sizes, and need no model classes to serve."""
+    from ladine_tpu.infer import ExportedPredictor
+
+    path = str(tmp_path / "bundle")
+    predictor.export_serving(path, batch_sizes=(2, 4))
+    served = ExportedPredictor.load(path)
+    assert sorted(served.programs) == [2, 4]
+    assert served.settings["mc_trials"] == predictor.mc_trials
+
+    images = np.random.default_rng(9).random((2, 16, 16, 3)).astype(np.float32)
+    key = jax.random.PRNGKey(11)
+    live = predictor.predict(images, key=key)
+    aot = served.predict(images, key=key)
+    np.testing.assert_allclose(live["probs"], aot["probs"], rtol=1e-5, atol=1e-6)
+    np.testing.assert_array_equal(live["majority_vote"], aot["majority_vote"])
+
+    with pytest.raises(ValueError, match="batch sizes"):
+        served.predict(np.zeros((3, 16, 16, 3), np.float32))
+    with pytest.raises(ValueError, match="not an export_serving bundle"):
+        p2 = str(tmp_path / "plain_artifact")
+        predictor.save(p2)
+        # a plain predictor artifact is not a bundle
+        import os
+        import shutil
+
+        os.makedirs(os.path.join(p2 + "_b", "programs"), exist_ok=True)
+        shutil.copytree(p2, os.path.join(p2 + "_b", "weights"))
+        ExportedPredictor.load(p2 + "_b")
+
+
+def test_export_serving_carries_int8_run_trees(tmp_path):
+    """An int8_encode predictor's bundle must carry the PRE-QUANTIZED run
+    trees (int8 kernels), not the float originals — the bundled program
+    expects the quantized structure."""
+    from ladine_tpu.infer import ExportedPredictor
+
+    guidance = SEViTGuidance(
+        num_classes=2, num_members=2, vit_depth=2,
+        img_size=16, patch_size=8, embed_dim=16, num_heads=2,
+        mlp_hidden_dims=(8, 8, 8),
+    )
+    gvars = guidance.init(jax.random.PRNGKey(0), jnp.zeros((1, 16, 16, 3)))
+    model = ConditionalModel(data_dim=768, feature_dim=8, hidden_dim=8,
+                             y_dim=2, n_steps=21)
+    members = [
+        model.init(jax.random.PRNGKey(i), jnp.zeros((1, 768)),
+                   jnp.zeros((1, 2)), jnp.asarray(0), jnp.full((1, 2), 0.5))
+        for i in range(2)
+    ]
+    p = Predictor(guidance=guidance, guidance_vars=gvars, model=model,
+                  stacked_vars=stack_members(members),
+                  sched=DiffusionSchedule.create("linear", 20),
+                  mc_trials=2, ddim_steps=4, use_int8=True,
+                  use_int8_encode=True)
+    path = str(tmp_path / "int8_bundle")
+    p.export_serving(path, batch_sizes=(2,))
+    served = ExportedPredictor.load(path)
+    enc_kernel = served.stacked["params"]["enc_lin1"]["Dense_0"]["kernel"]
+    assert enc_kernel.dtype == jnp.int8
+    images = np.random.default_rng(1).random((2, 16, 16, 3)).astype(np.float32)
+    key = jax.random.PRNGKey(2)
+    np.testing.assert_allclose(p.predict(images, key=key)["probs"],
+                               served.predict(images, key=key)["probs"],
+                               rtol=1e-5, atol=1e-6)
