@@ -63,6 +63,12 @@ def build_demo_predictor(mesh=None, **overrides):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--artifact", type=str, default=None)
+    ap.add_argument("--bundle", type=str, default=None,
+                    help="serve an AOT deployment bundle "
+                         "(Predictor.export_serving) instead of a live "
+                         "artifact — no tracing, fixed batch shapes; the "
+                         "bundle must carry every MicroBatcher bucket up "
+                         "to --max_batch")
     ap.add_argument("--demo", action="store_true")
     ap.add_argument("--port", type=int, default=8787)
     ap.add_argument("--cpu", action="store_true")
@@ -91,7 +97,22 @@ def main():
 
     if args.mesh:
         from ladine_tpu.parallel import make_mesh
-    if args.demo:
+    if args.bundle:
+        from ladine_tpu.infer import ExportedPredictor, MicroBatcher as MB
+
+        if args.mesh or args.preset:
+            ap.error("--bundle serves the exported program as-is; "
+                     "re-export with the desired preset / use a live "
+                     "artifact for mesh serving")
+        predictor = ExportedPredictor.load(args.bundle)
+        missing = [b for b in MB.bucket_sizes(args.max_batch)
+                   if b not in predictor.programs]
+        if missing:
+            ap.error(f"bundle lacks programs for batcher buckets {missing} "
+                     f"at --max_batch {args.max_batch}; re-export with "
+                     f"batch_sizes=MicroBatcher.bucket_sizes({args.max_batch})"
+                     f" or lower --max_batch")
+    elif args.demo:
         from ladine_tpu.infer.serve import PRESETS
 
         mesh = make_mesh(len(jax.devices()), num_members=3) if args.mesh else None
@@ -117,8 +138,9 @@ def main():
             mesh = make_mesh(len(jax.devices()), num_members=n_members)
         predictor = Predictor.load(args.artifact, preset=args.preset, mesh=mesh)
     else:
-        ap.error("pass --artifact PATH or --demo")
-    size = predictor.guidance.img_size
+        ap.error("pass --artifact PATH, --bundle PATH, or --demo")
+    size = (predictor.img_size if args.bundle
+            else predictor.guidance.img_size)
     # concurrent requests coalesce into one device call (fixed dispatch cost
     # ~43 ms/batch amortizes across co-riders; see infer/batching.py)
     from ladine_tpu.infer import MicroBatcher
@@ -137,11 +159,16 @@ def main():
 
         def do_GET(self):
             if self.path == "/health":
+                if args.bundle:
+                    info = {"kind": "aot_bundle",
+                            "batch_sizes": sorted(predictor.programs),
+                            **predictor.settings}
+                else:
+                    info = {"members": int(predictor.guidance.num_members),
+                            "mc_trials": predictor.mc_trials,
+                            "ddim_steps": predictor.ddim_steps}
                 self._json(200, {"status": "ok", "image_size": size,
-                                 "members": int(predictor.guidance.num_members),
-                                 "mc_trials": predictor.mc_trials,
-                                 "ddim_steps": predictor.ddim_steps,
-                                 "batching": batcher.stats()})
+                                 **info, "batching": batcher.stats()})
             else:
                 self._json(404, {"error": "GET /health or POST /predict"})
 

@@ -60,6 +60,14 @@ class MicroBatcher:
         self.requests = 0
         self.images = 0
 
+    @staticmethod
+    def bucket_sizes(max_batch: int) -> List[int]:
+        """Every batch shape the batcher can dispatch at this cap — the
+        exact ``batch_sizes`` an AOT bundle (Predictor.export_serving)
+        needs to sit behind a MicroBatcher: powers of two up to the cap,
+        plus the (possibly non-power-of-two) cap itself."""
+        return sorted({_bucket(n, max_batch) for n in range(1, max_batch + 1)})
+
     # ------------------------------------------------------------- client
 
     def predict(self, images: np.ndarray) -> Dict[str, np.ndarray]:

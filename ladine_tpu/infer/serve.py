@@ -333,10 +333,14 @@ class Predictor:
         The reference has no deployment story at all (its inference exists
         only inside the evaluation loop); this is the TPU-native one.
 
-        Fixed shapes by design (XLA serving programs are shape-specialized;
-        the MicroBatcher pads to its cap, so one batch size per cap is
-        enough). Single-topology: export the unsharded program — mesh
-        serving reconstructs a Predictor with ``mesh=`` instead."""
+        Fixed shapes by design (XLA serving programs are shape-specialized);
+        to sit behind a MicroBatcher pass
+        ``batch_sizes=MicroBatcher.bucket_sizes(cap)``. Platform-locked by
+        design too: a bundle exported on CPU refuses to run on TPU (and
+        vice versa) with a clear jax.export error — export on the platform
+        you deploy to (the meta records ``platforms``). Single-topology:
+        export the unsharded program — mesh serving reconstructs a
+        Predictor with ``mesh=`` instead."""
         if self.mesh is not None:
             raise ValueError(
                 "export_serving bundles the single-device program; "

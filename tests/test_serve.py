@@ -249,3 +249,24 @@ def test_export_serving_carries_int8_run_trees(tmp_path):
     np.testing.assert_allclose(p.predict(images, key=key)["probs"],
                                served.predict(images, key=key)["probs"],
                                rtol=1e-5, atol=1e-6)
+
+
+def test_bundle_behind_microbatcher(predictor, tmp_path):
+    """The batcher's power-of-two padding buckets are exactly the batch
+    sizes a bundle needs: bucket_sizes(cap) + export_serving + MicroBatcher
+    serve ragged requests through fixed-shape AOT programs."""
+    from ladine_tpu.infer import ExportedPredictor, MicroBatcher
+
+    assert MicroBatcher.bucket_sizes(4) == [1, 2, 4]
+    assert MicroBatcher.bucket_sizes(70) == [1, 2, 4, 8, 16, 32, 64, 70]
+
+    path = str(tmp_path / "mb_bundle")
+    predictor.export_serving(path, batch_sizes=MicroBatcher.bucket_sizes(4))
+    served = ExportedPredictor.load(path)
+    batcher = MicroBatcher(served.predict, max_batch=4, max_wait_ms=1.0)
+    try:
+        out = batcher.predict(
+            np.random.default_rng(4).random((3, 16, 16, 3)).astype(np.float32))
+        assert out["probs"].shape == (3, 2)  # pad row discarded
+    finally:
+        batcher.close()
