@@ -270,3 +270,22 @@ def test_bundle_behind_microbatcher(predictor, tmp_path):
         assert out["probs"].shape == (3, 2)  # pad row discarded
     finally:
         batcher.close()
+
+
+def test_export_bundle_cli(predictor, tmp_path):
+    """cli.export_bundle: artifact -> bundle with the requested preset baked
+    in and every bucket program present."""
+    from ladine_tpu.cli.export_bundle import main as export_main
+    from ladine_tpu.infer import ExportedPredictor
+
+    artifact = str(tmp_path / "cli_artifact")
+    predictor.save(artifact)
+    out = str(tmp_path / "cli_bundle")
+    rc = export_main(["--artifact", artifact, "--out", out,
+                      "--preset", "fast", "--max_batch", "2", "--cpu"])
+    assert rc == 0
+    served = ExportedPredictor.load(out)
+    assert sorted(served.programs) == [1, 2]
+    assert served.settings["ddim_steps"] == 10 and served.settings["use_int8"]
+    imgs = np.random.default_rng(6).random((1, 16, 16, 3)).astype(np.float32)
+    assert np.isfinite(served.predict(imgs)["probs"]).all()
