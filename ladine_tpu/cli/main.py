@@ -100,8 +100,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "guidance + member train state exceed 16 GB) and "
                         "faster everywhere (no per-step ViT forward)")
     p.add_argument("--export_predictor", action="store_true",
-                   help="after --train: package the trained ensemble as a "
-                        "serving Predictor artifact in the log dir")
+                   help="package the ensemble as a serving Predictor "
+                        "artifact in the log dir: after --train the best "
+                        "checkpoint; with --test/--calib the exact loaded "
+                        "weights + sampler/quantization knobs evaluated")
     p.add_argument("--eval_guidance", action="store_true",
                    help="report guidance majority-vote accuracy and exit")
     # diffusion overrides
@@ -455,6 +457,34 @@ def main(argv=None) -> int:
                                          eval_cast=True)
             stacked = runner.init_members(jax.random.PRNGKey(1), args.diffusion_ckpt,
                                           eval_cast=True)
+        if args.export_predictor:
+            # package the EVALUATED configuration for serving: the exact
+            # weights, sampler and quantization knobs this test/calib run
+            # used (the natural train -> evaluate -> deploy handoff; the
+            # train-path export above covers train -> deploy)
+            from ladine_tpu.infer import Predictor
+
+            exp_stacked, exp_hi = stacked, eval_cfg.head_indices
+            if eval_cfg.selected_members is not None:
+                sel = jnp.asarray(eval_cfg.selected_members)
+                exp_stacked = jax.tree.map(lambda x: x[sel], stacked)
+                exp_hi = tuple(eval_cfg.selected_members)
+            predictor = Predictor(
+                guidance=runner.guidance, guidance_vars=gvars,
+                model=runner.cond, stacked_vars=exp_stacked,
+                sched=runner.sched, temperature=eval_cfg.temperature,
+                mc_trials=eval_cfg.mc_trials,
+                ddim_steps=eval_cfg.ddim_steps, ddim_eta=eval_cfg.ddim_eta,
+                skip_type=eval_cfg.skip_type,
+                noise_prior=eval_cfg.noise_prior,
+                use_int8=eval_cfg.use_int8,
+                use_int8_encode=eval_cfg.use_int8_encode,
+                head_indices=exp_hi,
+            )
+            artifact = os.path.join(log_dir, "predictor_artifact")
+            predictor.save(artifact)
+            print(f"exported predictor -> {artifact}", file=sys.stderr)
+            del predictor
         if args.test and args.suite:
             import dataclasses as _dc
 

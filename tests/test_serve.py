@@ -289,3 +289,25 @@ def test_export_bundle_cli(predictor, tmp_path):
     assert served.settings["ddim_steps"] == 10 and served.settings["use_int8"]
     imgs = np.random.default_rng(6).random((1, 16, 16, 3)).astype(np.float32)
     assert np.isfinite(served.predict(imgs)["probs"]).all()
+
+
+def test_cli_test_path_export_predictor(tmp_path):
+    """--export_predictor on the --test path packages the exact evaluated
+    configuration (weights + sampler/quantization knobs) as a servable
+    artifact — the train -> evaluate -> deploy handoff."""
+    from ladine_tpu.cli.main import main as cli_main
+
+    exp = str(tmp_path / "exp")
+    rc = cli_main([
+        "--test", "--demo", "--cpu", "--exp", exp, "--doc", "ep",
+        "--mc_trials", "2", "--timesteps", "8", "--ddim", "4",
+        "--export_predictor",
+    ])
+    assert rc == 0
+    import os
+
+    p = Predictor.load(os.path.join(exp, "logs", "ep", "predictor_artifact"))
+    assert p.ddim_steps == 4 and p.mc_trials == 2
+    s = p.guidance.img_size
+    imgs = np.random.default_rng(0).random((2, s, s, 3)).astype(np.float32)
+    assert np.isfinite(p.predict(imgs)["probs"]).all()
