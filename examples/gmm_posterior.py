@@ -59,10 +59,21 @@ def run(n_train_steps=1500, mc_trials=100, seed=0, verbose=True):
     variables = {"params": state.params, "batch_stats": state.batch_stats}
     p_true = gmm.posterior(grid)
     maes = {}
-    for name, tau in [("ancestral", None), ("ddim", ddim_timesteps(T, max(T // 20, 4)))]:
+    ddim_tau = ddim_timesteps(T, max(T // 20, 4))
+    # the int8_bf16 row runs the SERVING numerics end-to-end: int8 lin2/lin3
+    # + bf16 hidden intermediates (int8_eps stores them in f.dtype — the
+    # TPU serving configuration, kernels/int8.py), validated against the
+    # same analytic posterior as the fp32 samplers
+    model_bf16 = model.copy(dtype=jnp.bfloat16)
+    for name, mdl, tau, int8 in [
+        ("ancestral", model, None, False),
+        ("ddim", model, ddim_tau, False),
+        ("int8_bf16", model_bf16, ddim_tau, True),
+    ]:
         samples = member_mc_sample(
-            model, variables, jnp.asarray(grid), jnp.full((41, 2), 0.5),
+            mdl, variables, jnp.asarray(grid), jnp.full((41, 2), 0.5),
             jax.random.PRNGKey(123), sched, mc_trials, tau=tau,
+            use_int8_eps=int8,
         )  # (mc_trials, 41, 2)
         p_hat = np.asarray(jnp.argmax(samples, -1)).mean(axis=0)
         maes[name] = float(np.abs(p_hat - p_true).mean())
@@ -71,7 +82,8 @@ def run(n_train_steps=1500, mc_trials=100, seed=0, verbose=True):
                 print(f"x={grid[i,0]:+.2f}  p_true={p_true[i]:.3f}  p_mc={p_hat[i]:.3f}")
     if verbose:
         print(f"MAE(p_mc, p_analytic): ancestral={maes['ancestral']:.4f}  "
-              f"ddim({max(T // 20, 4)} steps)={maes['ddim']:.4f}")
+              f"ddim({max(T // 20, 4)} steps)={maes['ddim']:.4f}  "
+              f"int8+bf16 intermediates={maes['int8_bf16']:.4f}")
     return maes["ancestral"]
 
 
