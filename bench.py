@@ -336,7 +336,7 @@ def run_inference(args, ddim, eta, use_int8, use_pallas, label,
         "pipelined_s": round(pipelined, 4),
         **mfu,
     }
-    if getattr(args, "latency", 0):
+    if args.latency:
         # online-serving lens: one request = one synchronous round trip
         # (distinct keys so the remote runtime cannot dedupe dispatches)
         lat = []
@@ -723,12 +723,9 @@ def _run_battery(args):
         # 2026-08-18: batch 70/140/280/420 = 1414/1600/1662/1544 img/s,
         # 560 OOMs the 16 GB chip): the per-batch fixed cost (int8 weight
         # stream + guidance) amortizes up to 4x the parity protocol's
-        # batch 70, then XLA tiling falls off. Offline/bulk scoring that
-        # can batch to 280 gets +18% over the parity-batch preset free.
-        # 4x the battery batch, capped at the measured 280 ABSOLUTE knee:
-        # the sweep records batch 420 regressing (tiling falloff) and 560
-        # OOMing the 16 GB chip, so a non-default --batch must never push
-        # this config past the validated point
+        # batch 70, then XLA tiling falls off. Capped at the 280 ABSOLUTE
+        # knee so a non-default --batch can never push this config past
+        # the validated point (420 regresses, 560 OOMs).
         ("serving_ddim10_int8_encode_maxbatch",
          lambda: run_inference(args, 10, 1.0, True, False,
                                "ddim10-int8-encode-maxbatch",

@@ -357,8 +357,9 @@ class Predictor:
             tree)
         key_spec = spec(jax.random.PRNGKey(0))
         os.makedirs(os.path.join(path, "programs"), exist_ok=True)
+        jitted = jax.jit(self._raw_fn)
         for b in batch_sizes:
-            exported = jexport.export(jax.jit(self._raw_fn))(
+            exported = jexport.export(jitted)(
                 spec(self._rv_g), spec(self._rv_s),
                 jax.ShapeDtypeStruct((int(b), s, s, 3), jnp.float32),
                 key_spec,
