@@ -106,6 +106,18 @@ def sh(args, log_path, env=None, stall_timeout=STALL_TIMEOUT_S, retries=1,
                 print(f"[run] rc={proc.returncode} but the step's artifact "
                       "is COMPLETE; continuing", file=sys.stderr)
                 return dt
+            if attempt < retries:
+                # transient backend failures are real (observed live: a
+                # step's first device allocation hit RESOURCE_EXHAUSTED ten
+                # seconds after the PREVIOUS client exited — the remote
+                # tunnel server frees a disconnected client's memory
+                # asynchronously). Back off long enough for that cleanup,
+                # then rerun; a genuine bug fails identically and raises on
+                # the final attempt.
+                print(f"[run] rc={proc.returncode}; retrying in 120s "
+                      f"(attempt {attempt})", file=sys.stderr)
+                time.sleep(120)
+                continue
             tail = open(log_path).read()[-3000:]
             raise RuntimeError(f"step failed (rc={proc.returncode}):\n{tail}")
         return dt
@@ -161,12 +173,23 @@ def suite_dict(fast: bool) -> dict:
     (classification_train_separately.py:726-739)."""
     d50 = {"ddim_steps": 50, "ddim_eta": 1.0}
     suite = {
-        "full": {},  # the PARITY workload: full 1000-step ancestral chain
+        # Execution order = dict order, and a truncated run (VM wipe, relay
+        # death, round-end chip handover) keeps only the rows that already
+        # landed — so each int8 row runs immediately after its bf16
+        # comparandum, and the slow 1000-step parity row follows them.
+        # RESULTS.md rendering order is fixed separately (md_row calls).
         "d50": d50,  # the serving sampler
+        "int8": {**d50, "use_int8": True},
+        "d10": {"ddim_steps": 10, "ddim_eta": 1.0},
+        # the full serving preset: DDIM-10 + int8 eps + resident int8
+        # encoder/head weights — the accuracy row gating the
+        # serving_ddim10_int8_encode battery record (round-3 verdict Next #2)
+        "int8_enc": {"ddim_steps": 10, "ddim_eta": 1.0, "use_int8": True,
+                     "use_int8_encode": True},
+        "full": {},  # the PARITY workload: full 1000-step ancestral chain
         # step sweep: if accuracy/ECE/uncertainty hold at fewer steps, the
         # serving preset can drop steps for a proportional throughput win
         "d25": {"ddim_steps": 25, "ddim_eta": 1.0},
-        "d10": {"ddim_steps": 10, "ddim_eta": 1.0},
         "noise": {**d50, "noise_std": 0.1},
         "noise_hard": {**d50, "noise_std": 0.2},
         "contrast": {**d50, "contrast": 0.6},
@@ -176,12 +199,6 @@ def suite_dict(fast: bool) -> dict:
         "crop": {**d50, "crop": 0.1},
         "atk_fgsm": {**d50, "attack_name": "FGSM", "attack_eps": 0.03},
         "atk_pgd": {**d50, "attack_name": "PGD", "attack_eps": 0.03},
-        "int8": {**d50, "use_int8": True},
-        # the full serving preset: DDIM-10 + int8 eps + resident int8
-        # encoder/head weights — the accuracy row gating the
-        # serving_ddim10_int8_encode battery record (round-3 verdict Next #2)
-        "int8_enc": {"ddim_steps": 10, "ddim_eta": 1.0, "use_int8": True,
-                     "use_int8_encode": True},
     }
     if fast:
         suite = {k: suite[k] for k in ("full", "d50", "d10", "noise",
