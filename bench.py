@@ -115,6 +115,10 @@ def parse_args():
     ap.add_argument("--int8", action="store_true",
                     help="int8 weights+activations for the two big eps "
                          "matmuls (2x MXU OPS on v5e)")
+    ap.add_argument("--pallas_int8", action="store_true",
+                    help="fused Pallas int8 scan body (quantize-in-prologue "
+                         "GEMM + epilogue + row-max, kernels/int8_pallas.py); "
+                         "MC trials fold into GEMM rows")
     ap.add_argument("--unroll", type=int, default=1, help="reverse-scan unroll factor")
     ap.add_argument("--latency", type=int, default=0,
                     help="focused runs: ALSO measure per-request latency "
@@ -196,7 +200,7 @@ def _materialize(shapes, pdtype, scale=0.02):
 
 
 def run_inference(args, ddim, eta, use_int8, use_pallas, label,
-                  int8_encode=False, batch=None):
+                  int8_encode=False, batch=None, pallas_int8=False):
     """One inference configuration; returns its self-describing record.
     ``batch`` overrides args.batch for this config only (the max-throughput
     battery point). All device buffers are dropped before returning (the
@@ -284,6 +288,7 @@ def run_inference(args, ddim, eta, use_int8, use_pallas, label,
                                       use_pallas_eps=use_pallas,
                                       use_int8_eps=use_int8,
                                       use_int8_encode=int8_encode,
+                                      use_int8_pallas=pallas_int8,
                                       unroll=args.unroll)
 
     # compile + warmup
@@ -327,6 +332,7 @@ def run_inference(args, ddim, eta, use_int8, use_pallas, label,
         "unit": f"images/sec ({M} members x {K} trials x "
                 f"{ddim if ddim else T}-step reverse, batch {B}"
                 + (", int8 eps" if use_int8 else "")
+                + (", int8 pallas-fused eps" if pallas_int8 else "")
                 + (", int8 encode+heads" if int8_encode else "") + ")",
         "vs_baseline": round(img_per_sec / REFERENCE_BASELINE_IMG_PER_SEC, 1),
         # self-describing timing methodology (ADVICE r2): which measurement
@@ -656,14 +662,16 @@ def main():
     _setup_platform(args)
 
     focused = (args.tiny or args.train or args.ddim or args.int8
-               or args.int8_encode or args.pallas) and not args.full
+               or args.int8_encode or args.pallas
+               or args.pallas_int8) and not args.full
     if args.train and not args.full:
         print(json.dumps(train_bench(args)))
         return
     if focused:
         print(json.dumps(run_inference(args, args.ddim, args.eta, args.int8,
                                        args.pallas, "focused",
-                                       int8_encode=args.int8_encode)))
+                                       int8_encode=args.int8_encode,
+                                       pallas_int8=args.pallas_int8)))
         return
 
     print(json.dumps(_run_battery(args)))

@@ -52,6 +52,7 @@ def member_mc_sample(
     use_pallas_eps: bool = False,
     use_int8_eps: bool = False,
     use_int8_encode: bool = False,
+    use_int8_pallas: bool = False,
     unroll: int = 1,
     noise_prior: bool = False,
 ) -> jnp.ndarray:
@@ -84,6 +85,34 @@ def member_mc_sample(
     else:
         f = model.apply(member_vars, x_flat, method="encode")
     y_T_mean = jnp.zeros_like(y0_hat) if noise_prior else y0_hat
+
+    if use_int8_pallas:
+        # Fused Pallas int8 scan body (kernels/int8_pallas.py). The MC-trial
+        # axis is FOLDED into GEMM rows instead of vmapped: a vmapped
+        # pallas_call re-streams the 16.7 MB int8 weights once per trial
+        # (the round-1 fused-kernel regression, docs/ROADMAP.md #5), while
+        # one (MC*B)-row kernel reads them once per row-tile. Noise draws
+        # are per-element of the widened batch, so the sampler is
+        # distributionally identical to the vmapped-trials path (the PRNG
+        # stream differs — same caveat as any batch-shape change).
+        from ladine_tpu.kernels.int8 import quantize_member
+        from ladine_tpu.kernels.int8_pallas import int8_eps_pallas
+
+        qvars = quantize_member(member_vars)
+        b, c = y_T_mean.shape
+        f_rows = jnp.broadcast_to(f, (mc_trials,) + f.shape).reshape(
+            mc_trials * b, f.shape[-1]
+        )
+        yhat_rows = jnp.broadcast_to(y0_hat, (mc_trials, b, c)).reshape(-1, c)
+
+        def eps_fn(y, t):
+            out = int8_eps_pallas(qvars, f_rows, y.reshape(-1, c), t, yhat_rows)
+            return out.astype(f.dtype).reshape(mc_trials, b, c)
+
+        y_T_wide = jnp.broadcast_to(y_T_mean, (mc_trials, b, c))
+        if tau is None:
+            return p_sample_loop(eps_fn, y_T_wide, sched, key, unroll=unroll)
+        return ddim_sample_loop(eps_fn, y_T_wide, sched, key, tau, eta)
 
     if use_int8_eps:
         from ladine_tpu.kernels.int8 import int8_eps, quantize_member
@@ -125,6 +154,7 @@ def nested_ensemble_sample(
     use_pallas_eps: bool = False,
     use_int8_eps: bool = False,
     use_int8_encode: bool = False,
+    use_int8_pallas: bool = False,
     unroll: int = 1,
     noise_prior: bool = False,
 ) -> jnp.ndarray:
@@ -152,6 +182,7 @@ def nested_ensemble_sample(
         use_pallas_eps=use_pallas_eps,
         use_int8_eps=use_int8_eps,
         use_int8_encode=use_int8_encode,
+        use_int8_pallas=use_int8_pallas,
         unroll=unroll,
         noise_prior=noise_prior,
     )

@@ -1,0 +1,232 @@
+"""Pallas fused int8 GEMM + dequant/affine/softplus epilogue + row-max.
+
+Closes the measured gap between the int8 scan step and its GEMM floor.
+On one v5e chip at serving shapes (DDIM-10, batch 280 -> R = 28,000 rows)
+the per-step marginal is ~6.8 ms against a ~4.8 ms int8-MXU floor
+(docs/ROADMAP.md, 2026-08-18 sweep): the difference is elementwise HBM
+traffic XLA cannot fuse into the dots —
+
+  * the int32 GEMM accumulator round-trips HBM before the dequant/affine/
+    softplus fusion consumes it (~0.5 GB/step at R=28k);
+  * the next layer's per-row max-abs quantization re-reads the activation
+    it just wrote and forms a separate reduction+map pass.
+
+This kernel fuses the whole per-layer chain into ONE pass over the output
+tiles: quantize the input tile in VMEM (per-row scales from a precomputed
+row max), int8 x int8 -> int32 on the MXU, dequantize with the folded
+(timestep-gate x BatchNorm) affine, softplus, store in the compute dtype,
+and accumulate the per-row max the NEXT layer's quantization needs — so
+the only HBM elementwise traffic per layer is one bf16 activation write.
+
+Numerics are IDENTICAL to kernels/int8.int8_eps up to f32 associativity:
+same symmetric / zero-point-127 schemes, same rounding order, and the row
+max is taken over the compute-dtype-rounded values the consumer actually
+reads (tests/test_int8_pallas.py pins equality in interpret mode).
+
+Engine integration notes (infer/engine.py ``use_int8_pallas``):
+  * the round-1 fused-bf16 Pallas path lost 4x because the MC-trial vmap
+    fragments the kernel grid (each trial re-streams the weights); this
+    path therefore FOLDS the MC axis into GEMM rows (R = MC * B per
+    member) before the kernel sees them, and only the member axis is
+    vmapped — member-stacked weights make that index map exact.
+  * weights stream (K x N int8 = 16.7 MB at LaDiNE dims) once per R-tile;
+    block sizes default to r=512/n=512 so the re-read traffic stays under
+    the MXU time at serving row counts.
+
+Reference hot loop being accelerated:
+/root/reference/diffusion/classification_train_separately.py:767-777.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ladine_tpu.kernels.fused_eps import _fold
+
+_NEG_PAD = -1e9  # c-padding: softplus(-1e9) == 0, so padded cols never win the row max
+
+
+def _kernel(x_ref, xm_ref, w_ref, s_ref, c_ref, cs_ref, h_ref, m_ref, *, zp: bool):
+    """One (br, bn) output tile: quantize-in-prologue int8 GEMM + epilogue.
+
+    Grid is (R tiles, N tiles) with N innermost, so ``m_ref`` (index map
+    constant in j) stays resident in VMEM and accumulates the row max
+    across the j sweep.
+    """
+    xs = jnp.maximum(xm_ref[...].astype(jnp.float32), 1e-8) / (254.0 if zp else 127.0)
+    xq = jnp.round(x_ref[...].astype(jnp.float32) / xs)
+    if zp:
+        xq = xq - 127.0
+    xq = jnp.clip(xq, -127, 127).astype(jnp.int8)
+    acc = jax.lax.dot_general(
+        xq, w_ref[...], (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32
+    ).astype(jnp.float32)
+    if zp:
+        acc = acc + 127.0 * cs_ref[...]
+    h = jax.nn.softplus(acc * (xs * s_ref[...]) + c_ref[...])
+    # round to the compute dtype FIRST so the row max matches what the
+    # consumer (the next layer's quantizer) actually reads
+    h = h.astype(h_ref.dtype)
+    h_ref[...] = h
+    m = jnp.max(h.astype(jnp.float32), axis=1, keepdims=True)
+
+    @pl.when(pl.program_id(1) == 0)
+    def _init():
+        m_ref[...] = m
+
+    @pl.when(pl.program_id(1) > 0)
+    def _acc():
+        m_ref[...] = jnp.maximum(m_ref[...], m)
+
+
+def _round_up(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
+
+def _pick_block_r(r: int, block_r: int) -> int:
+    """Largest row block <= block_r that divides r (multiple of 8 for the
+    f32 sublane tile), so the activation needs NO pad copy inside the scan
+    body — a padded (R, 4096) copy per layer per step is real HBM traffic.
+    Falls back to block_r (+padding) when r has no suitable divisor."""
+    if r <= block_r:
+        return _round_up(r, 8)
+    if r % block_r == 0:
+        return block_r
+    for d in range(block_r // 8 * 8, 7, -8):
+        if r % d == 0:
+            return d
+    return block_r
+
+
+def int8_linear_softplus(
+    x: jnp.ndarray,
+    xmax: jnp.ndarray,
+    w_q: jnp.ndarray,
+    s: jnp.ndarray,
+    c: jnp.ndarray,
+    colsum: jnp.ndarray = None,
+    block_r: int = 512,
+    block_n: int = 512,
+    interpret: bool = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """softplus(int8_matmul(x, w_q) * s + c) plus the per-row output max.
+
+    Args:
+        x: (R, K) float activations, NOT yet quantized.
+        xmax: (R, 1) f32 per-row max — ``max|x|`` for the symmetric scheme,
+            ``max(x)`` when ``colsum`` is given (non-negative input,
+            zero-point-127 — kernels/int8.int8_matmul's two schemes).
+        w_q: (K, N) int8 weight (kernels/int8.quantize_weight).
+        s: (N,) f32 — w_scale x folded affine scale ``a``, pre-multiplied.
+        c: (N,) f32 folded affine shift.
+        colsum: optional (N,) f32 per-column sum of w_q -> zero-point mode.
+    Returns:
+        (h, hmax): (R, N) in x.dtype and (R, 1) f32 max over N of h.
+    """
+    r, k = x.shape
+    k2, n = w_q.shape
+    assert k == k2, (x.shape, w_q.shape)
+    zp = colsum is not None
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+
+    br = _pick_block_r(r, block_r)
+    bn = min(block_n, _round_up(n, 128))
+    rp, np_ = _round_up(r, br), _round_up(n, bn)
+    kp = _round_up(k, 128)
+    xp = jnp.pad(x, ((0, rp - r), (0, kp - k)))
+    # padded rows: xmax 0 -> scale floor 1e-8 -> xq 0; rows sliced away anyway
+    xm = jnp.pad(xmax.astype(jnp.float32), ((0, rp - r), (0, 0)))
+    wp = jnp.pad(w_q, ((0, kp - k), (0, np_ - n)))
+    sp = jnp.pad(s.astype(jnp.float32), (0, np_ - n)).reshape(1, np_)
+    cp = jnp.pad(
+        c.astype(jnp.float32), (0, np_ - n), constant_values=_NEG_PAD
+    ).reshape(1, np_)
+    csp = jnp.pad(
+        (colsum if zp else jnp.zeros((n,))).astype(jnp.float32), (0, np_ - n)
+    ).reshape(1, np_)
+
+    grid = (rp // br, np_ // bn)
+    h, hmax = pl.pallas_call(
+        functools.partial(_kernel, zp=zp),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((br, kp), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((br, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((kp, bn), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bn), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bn), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bn), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((br, bn), lambda i, j: (i, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((br, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((rp, np_), x.dtype),
+            jax.ShapeDtypeStruct((rp, 1), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            # int8 MXU MACs; bytes: x + w + h out (+ scales, negligible)
+            flops=2 * rp * np_ * kp,
+            bytes_accessed=rp * kp * x.dtype.itemsize + kp * np_ + rp * np_ * x.dtype.itemsize,
+            transcendentals=rp * np_,
+        ),
+        interpret=interpret,
+    )(xp, xm, wp, sp, cp, csp)
+    return h[:r, :n], hmax[:r]
+
+
+def int8_eps_pallas(
+    qvars,
+    f: jnp.ndarray,
+    y: jnp.ndarray,
+    t: jnp.ndarray,
+    y_hat: jnp.ndarray,
+    block_r: int = 512,
+    block_n: int = 512,
+) -> jnp.ndarray:
+    """eps forward with the two hot GEMMs as fused Pallas int8 kernels.
+
+    Mirrors kernels/int8.int8_eps layer by layer (same quantization schemes
+    per layer: lin2 symmetric — its input f (.) softplus is signed; lin3
+    zero-point-127 — its input is a softplus output), with the epilogues and
+    the next layer's row max fused into the GEMM pass. lin1/lin4 stay XLA
+    (K and N are num_classes-tiny — no MXU tiling to win).
+
+    ``qvars`` is kernels/int8.quantize_member output; leading dims of ``y``
+    beyond the row axis must already be folded (see engine use_int8_pallas).
+    """
+    params = qvars["params"]
+    stats = qvars["batch_stats"]
+    cdtype = f.dtype
+    y_in = jnp.concatenate([y, y_hat], axis=-1)
+
+    w1, a1, c1 = _fold(params["lin1"], params["unetnorm1"], stats["unetnorm1"], t)
+    h = jax.nn.softplus(
+        jnp.dot(y_in, w1, preferred_element_type=jnp.float32) * a1 + c1
+    ).astype(cdtype)
+    h = f * h
+    hmax = jnp.max(jnp.abs(h), axis=1, keepdims=True).astype(jnp.float32)
+
+    _, a2, c2 = _fold(params["lin2"], params["unetnorm2"], stats["unetnorm2"], t)
+    w_q2, w_scale2, _ = qvars["int8"]["lin2"]
+    h, hmax = int8_linear_softplus(
+        h, hmax, w_q2, w_scale2 * a2, c2, block_r=block_r, block_n=block_n
+    )
+
+    _, a3, c3 = _fold(params["lin3"], params["unetnorm3"], stats["unetnorm3"], t)
+    w_q3, w_scale3, colsum3 = qvars["int8"]["lin3"]
+    h, _ = int8_linear_softplus(
+        h, hmax, w_q3, w_scale3 * a3, c3, colsum=colsum3,
+        block_r=block_r, block_n=block_n,
+    )
+
+    dense4 = params["lin4"]["Dense_0"]
+    return jnp.dot(h, dense4["kernel"], preferred_element_type=jnp.float32) + dense4["bias"]
