@@ -73,6 +73,10 @@ class Predictor:
     noise_prior: bool = False  # zero prior mean at T (reference --noise_prior)
     use_int8: bool = False
     use_int8_encode: bool = False  # int8 enc_lin1 (see EvalConfig)
+    # fused Pallas int8 scan body (kernels/int8_pallas.py) instead of the
+    # XLA int8 path; MC trials fold into GEMM rows. Opt-in pending the
+    # hardware A/B (bench --pallas_int8) — takes precedence over use_int8.
+    use_int8_pallas: bool = False
     seed: int = 0
     # which guidance heads condition the stacked members; None = heads
     # 0..n_stacked-1 (set to e.g. (2,) for a single-member --mlp_idx artifact)
@@ -164,8 +168,10 @@ class Predictor:
             samples = nested_ensemble_sample(
                 self.model, stacked, x_flat, y0_hat, key, self.sched,
                 mc_trials=self.mc_trials, tau=self._tau, eta=self.ddim_eta,
-                use_int8_eps=self.use_int8, noise_prior=self.noise_prior,
+                use_int8_eps=self.use_int8 and not self.use_int8_pallas,
+                noise_prior=self.noise_prior,
                 use_int8_encode=self.use_int8_encode,
+                use_int8_pallas=self.use_int8_pallas,
             )
             m, k, b, c = samples.shape
             flat = samples.reshape(m * k, b, c)
@@ -284,6 +290,7 @@ class Predictor:
             "noise_prior": self.noise_prior,
             "use_int8": self.use_int8,
             "use_int8_encode": self.use_int8_encode,
+            "use_int8_pallas": self.use_int8_pallas,
             "head_indices": list(self.head_indices) if self.head_indices else None,
             # the COMPUTE dtype is part of the artifact: dropping it on
             # reload silently rebuilt bf16-run models as fp32 compute, so a
@@ -453,6 +460,7 @@ class Predictor:
             noise_prior=meta.get("noise_prior", False),
             use_int8=meta["use_int8"],
             use_int8_encode=meta.get("use_int8_encode", False),
+            use_int8_pallas=meta.get("use_int8_pallas", False),
             head_indices=tuple(hi) if hi else None,
         )
         if preset is not None:

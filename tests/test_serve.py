@@ -311,3 +311,21 @@ def test_cli_test_path_export_predictor(tmp_path):
     s = p.guidance.img_size
     imgs = np.random.default_rng(0).random((2, s, s, 3)).astype(np.float32)
     assert np.isfinite(p.predict(imgs)["probs"]).all()
+
+
+def test_predictor_int8_pallas_path(predictor, tmp_path):
+    """use_int8_pallas serves through the fused Pallas scan body (interpret
+    mode on CPU) and the flag survives a save/load roundtrip."""
+    import dataclasses
+
+    p = dataclasses.replace(predictor, use_int8_pallas=True)
+    images = np.random.default_rng(3).random((2, 16, 16, 3)).astype(np.float32)
+    out = p.predict(images)
+    assert out["probs"].shape == (2, 2)
+    np.testing.assert_allclose(np.asarray(out["probs"]).sum(-1), 1.0, rtol=1e-5)
+    path = str(tmp_path / "artifact_pallas")
+    p.save(path)
+    loaded = Predictor.load(path)
+    assert loaded.use_int8_pallas is True
+    out2 = loaded.predict(images, key=jax.random.PRNGKey(3))
+    assert np.isfinite(np.asarray(out2["probs"])).all()
