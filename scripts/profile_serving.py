@@ -47,6 +47,12 @@ def main():
     ap.add_argument("--reps", type=int, default=10)
     ap.add_argument("--pallas", action="store_true",
                     help="Pallas flash attention inside the guidance ViT")
+    ap.add_argument("--int8", action="store_true",
+                    help="also time the int8 (XLA) scan-only row")
+    ap.add_argument("--pallas_int8", action="store_true",
+                    help="also time the fused Pallas int8 scan-only row "
+                         "(kernels/int8_pallas.py) — the scan-level A/B "
+                         "against scan_int8_ms")
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--tiny", action="store_true")
     args = ap.parse_args()
@@ -126,6 +132,12 @@ def main():
     enc_fn = jax.jit(lambda s, xf: jax.vmap(lambda v: cond.apply(v, xf, method="encode"))(s))
     scan_fn = jax.jit(lambda s, yh, k: nested_ensemble_sample(
         cond, s, x_flat, yh, k, sched, mc_trials=K, tau=tau, eta=args.eta))
+    scan_int8_fn = jax.jit(lambda s, yh, k: nested_ensemble_sample(
+        cond, s, x_flat, yh, k, sched, mc_trials=K, tau=tau, eta=args.eta,
+        use_int8_eps=True))
+    scan_pallas_int8_fn = jax.jit(lambda s, yh, k: nested_ensemble_sample(
+        cond, s, x_flat, yh, k, sched, mc_trials=K, tau=tau, eta=args.eta,
+        use_int8_pallas=True))
 
     def full_fn(g, s, im, k):
         # all K+1 heads — the pre-round-3 serving path, kept for comparison
@@ -159,6 +171,13 @@ def main():
         ("guidance_subset_ms", gs_fn, [(gvars, im) for im in img_vars], 40),
         ("encode_ms", enc_fn, [(stacked, im.reshape(B, -1)) for im in img_vars], 20),
         ("scan_only_ms", scan_fn, [(stacked, yh, k) for yh, k in zip(yh_vars, keys)], 1),
+    ] + ([
+        ("scan_int8_ms", scan_int8_fn,
+         [(stacked, yh, k) for yh, k in zip(yh_vars, keys)], 1),
+    ] if args.int8 else []) + ([
+        ("scan_pallas_int8_ms", scan_pallas_int8_fn,
+         [(stacked, yh, k) for yh, k in zip(yh_vars, keys)], 1),
+    ] if args.pallas_int8 else []) + [
         ("full_ms", full_jit, [(gvars, stacked, im, k) for im, k in zip(img_vars, keys)], 1),
         ("full_subset_ms", full_subset_jit,
          [(gvars, stacked, im, k) for im, k in zip(img_vars, keys)], 1),
