@@ -49,6 +49,10 @@ def main():
                     help="Pallas flash attention inside the guidance ViT")
     ap.add_argument("--int8", action="store_true",
                     help="also time the int8 (XLA) scan-only row")
+    ap.add_argument("--int8_encode", action="store_true",
+                    help="also time the resident-int8 encode / taps / "
+                         "mapping-head components (the 'fast' preset's "
+                         "fixed cost, kernels/int8.py)")
     ap.add_argument("--pallas_int8", action="store_true",
                     help="also time the fused Pallas int8 scan-only row "
                          "(kernels/int8_pallas.py) — the scan-level A/B "
@@ -138,6 +142,24 @@ def main():
     scan_pallas_int8_fn = jax.jit(lambda s, yh, k: nested_ensemble_sample(
         cond, s, x_flat, yh, k, sched, mc_trials=K, tau=tau, eta=args.eta,
         use_int8_pallas=True))
+    if args.int8_encode:
+        # resident pre-quantized trees, exactly as the Predictor holds them
+        from ladine_tpu.kernels.int8 import (
+            int8_encode,
+            int8_mapping_heads,
+            quantize_encoder,
+            quantize_mapping_heads,
+        )
+
+        stacked_q = jax.jit(jax.vmap(quantize_encoder))(stacked)
+        gvars_q = jax.jit(lambda g: quantize_mapping_heads(g, subset))(gvars)
+        enc_int8_fn = jax.jit(
+            lambda s, xf: jax.vmap(lambda v: int8_encode(v, xf))(s))
+        taps_fn = jax.jit(
+            lambda g, im: guidance.apply(g, im, subset, method="taps_subset"))
+        heads_int8_fn = jax.jit(
+            lambda g, im: int8_mapping_heads(
+                g, guidance.apply(g, im, subset, method="taps_subset"), subset))
 
     def full_fn(g, s, im, k):
         # all K+1 heads — the pre-round-3 serving path, kept for comparison
@@ -177,7 +199,12 @@ def main():
     ] if args.int8 else []) + ([
         ("scan_pallas_int8_ms", scan_pallas_int8_fn,
          [(stacked, yh, k) for yh, k in zip(yh_vars, keys)], 1),
-    ] if args.pallas_int8 else []) + [
+    ] if args.pallas_int8 else []) + ([
+        ("encode_int8_ms", enc_int8_fn,
+         [(stacked_q, im.reshape(B, -1)) for im in img_vars], 20),
+        ("taps_subset_ms", taps_fn, [(gvars_q, im) for im in img_vars], 20),
+        ("heads_int8_ms", heads_int8_fn, [(gvars_q, im) for im in img_vars], 20),
+    ] if args.int8_encode else []) + [
         ("full_ms", full_jit, [(gvars, stacked, im, k) for im, k in zip(img_vars, keys)], 1),
         ("full_subset_ms", full_subset_jit,
          [(gvars, stacked, im, k) for im, k in zip(img_vars, keys)], 1),
