@@ -130,3 +130,18 @@ def test_engine_mc_fold_runs_and_agrees(cm):
     p, i = np.asarray(out_pallas, np.float64), np.asarray(out_int8, np.float64)
     assert abs(p.mean() - i.mean()) < 0.2, (p.mean(), i.mean())
     assert 0.6 < p.std() / i.std() < 1.6, (p.std(), i.std())
+
+
+def test_tpu_lowering_exports():
+    """The kernel must keep LOWERING for the TPU target from a CPU host
+    (jax.export runs the Mosaic serialization pipeline) — catches
+    unsupported-op regressions (e.g. the int8 MXU dot) without a chip."""
+    r, k, n = 256, 512, 512
+    x = jnp.zeros((r, k), jnp.bfloat16)
+    xmax = jnp.ones((r, 1), jnp.float32)
+    w_q = jnp.zeros((k, n), jnp.int8)
+    s = jnp.ones((n,), jnp.float32)
+    c = jnp.zeros((n,), jnp.float32)
+    fn = jax.jit(lambda *a: int8_linear_softplus(*a, interpret=False))
+    exp = jax.export.export(fn, platforms=["tpu"])(x, xmax, w_q, s, c)
+    assert tuple(exp.out_avals[0].shape) == (r, n)
