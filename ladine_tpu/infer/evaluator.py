@@ -80,6 +80,9 @@ class EvalConfig:
     # int8 enc_lin1 — the per-image encode's 1.2 GB weight stream; matters
     # at short DDIM schedules where the fixed cost dominates (kernels/int8.py)
     use_int8_encode: bool = False
+    # fused Pallas int8 scan body (kernels/int8_pallas.py; MC trials fold
+    # into GEMM rows) — the accuracy-gate row for the --pallas_int8 bench
+    use_int8_pallas: bool = False
 
 
 def make_eval_pipeline(
@@ -159,8 +162,10 @@ def make_eval_pipeline(
         return nested_ensemble_sample(
             model, vars_run, x_flat, y0_hat, k_sample, sched,
             mc_trials=cfg.mc_trials, tau=tau, eta=cfg.ddim_eta, unroll=cfg.unroll,
-            noise_prior=cfg.noise_prior, use_int8_eps=cfg.use_int8,
+            noise_prior=cfg.noise_prior,
+            use_int8_eps=cfg.use_int8 and not cfg.use_int8_pallas,
             use_int8_encode=cfg.use_int8_encode,
+            use_int8_pallas=cfg.use_int8_pallas,
         )
 
     if mesh is None:

@@ -186,6 +186,10 @@ def suite_dict(fast: bool) -> dict:
         # serving_ddim10_int8_encode battery record (round-3 verdict Next #2)
         "int8_enc": {"ddim_steps": 10, "ddim_eta": 1.0, "use_int8": True,
                      "use_int8_encode": True},
+        # fused Pallas int8 scan body on the same preset — the full-dims
+        # accuracy gate for bench --pallas_int8 (kernels/int8_pallas.py)
+        "int8_pallas": {"ddim_steps": 10, "ddim_eta": 1.0,
+                        "use_int8_pallas": True, "use_int8_encode": True},
         "full": {},  # the PARITY workload: full 1000-step ancestral chain
         # step sweep: if accuracy/ECE/uncertainty hold at fewer steps, the
         # serving preset can drop steps for a proportional throughput win
@@ -690,6 +694,10 @@ def main():
         lines.append(md_row(
             "clean, DDIM-10, int8 eps + resident int8 encoder/heads "
             "(the serving_ddim10_int8_encode preset)", clean_int8_enc))
+    if (clean_int8_pallas := row_report("int8_pallas")) is not None:
+        lines.append(md_row(
+            "clean, DDIM-10, fused Pallas int8 scan body + resident int8 "
+            "encoder/heads (bench --pallas_int8)", clean_int8_pallas))
     for name, r in sweep.items():
         steps = name[1:]
         lines.append(md_row(f"clean, DDIM-{steps} eta=1 (step sweep)", r))

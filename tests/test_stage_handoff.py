@@ -323,3 +323,24 @@ def test_suite_mode_runs_named_configs_in_one_process(
         assert 0 <= rep["ece"] <= 1
     summary = json.load(open(os.path.join(d, "report.json")))
     assert set(summary["rows"]) == {"clean", "noisy"}
+
+
+def test_suite_mode_int8_pallas_row(trained_ckpt, small_config, tmp_path):
+    """The int8_pallas suite row (run_results.py) evaluates through the
+    fused Pallas scan body + MC-fold (EvalConfig.use_int8_pallas)."""
+    from ladine_tpu.cli.main import main
+
+    suite = {"int8_pallas": {"ddim_steps": 5, "ddim_eta": 1.0,
+                             "use_int8_pallas": True}}
+    sp = tmp_path / "suite.json"
+    sp.write_text(json.dumps(suite))
+    exp = str(tmp_path / "exp")
+    rc = main([
+        "--test", "--config", small_config, "--cpu", "--exp", exp, "--doc", "sp",
+        "--mc_trials", "2", "--suite", str(sp),
+        "--diffusion_ckpt", trained_ckpt,
+    ])
+    assert rc == 0
+    rep = json.load(open(os.path.join(exp, "logs", "sp",
+                                      "report_int8_pallas.json")))
+    assert 0 <= rep["ece"] <= 1
