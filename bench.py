@@ -119,6 +119,10 @@ def parse_args():
                     help="fused Pallas int8 scan body (quantize-in-prologue "
                          "GEMM + epilogue + row-max, kernels/int8_pallas.py); "
                          "MC trials fold into GEMM rows")
+    ap.add_argument("--pallas_v2", action="store_true",
+                    help="with --pallas_int8: also fuse lin1 into lin2's "
+                         "prologue and lin4 into lin3's epilogue (h1/h3 "
+                         "never touch HBM)")
     ap.add_argument("--unroll", type=int, default=1, help="reverse-scan unroll factor")
     ap.add_argument("--latency", type=int, default=0,
                     help="focused runs: ALSO measure per-request latency "
@@ -289,6 +293,7 @@ def run_inference(args, ddim, eta, use_int8, use_pallas, label,
                                       use_int8_eps=use_int8,
                                       use_int8_encode=int8_encode,
                                       use_int8_pallas=pallas_int8,
+                                      pallas_fuse_ends=args.pallas_v2,
                                       unroll=args.unroll)
 
     # compile + warmup
@@ -333,6 +338,7 @@ def run_inference(args, ddim, eta, use_int8, use_pallas, label,
                 f"{ddim if ddim else T}-step reverse, batch {B}"
                 + (", int8 eps" if use_int8 else "")
                 + (", int8 pallas-fused eps" if pallas_int8 else "")
+                + (" v2" if pallas_int8 and args.pallas_v2 else "")
                 + (", int8 encode+heads" if int8_encode else "") + ")",
         "vs_baseline": round(img_per_sec / REFERENCE_BASELINE_IMG_PER_SEC, 1),
         # self-describing timing methodology (ADVICE r2): which measurement

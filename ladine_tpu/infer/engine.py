@@ -53,6 +53,7 @@ def member_mc_sample(
     use_int8_eps: bool = False,
     use_int8_encode: bool = False,
     use_int8_pallas: bool = False,
+    pallas_fuse_ends: bool = False,
     unroll: int = 1,
     noise_prior: bool = False,
 ) -> jnp.ndarray:
@@ -96,8 +97,14 @@ def member_mc_sample(
         # distributionally identical to the vmapped-trials path (the PRNG
         # stream differs — same caveat as any batch-shape change).
         from ladine_tpu.kernels.int8 import quantize_member
-        from ladine_tpu.kernels.int8_pallas import int8_eps_pallas
+        from ladine_tpu.kernels.int8_pallas import (
+            int8_eps_pallas,
+            int8_eps_pallas_fused,
+        )
 
+        # v2 (pallas_fuse_ends) additionally folds lin1 into lin2's
+        # prologue and lin4 into lin3's epilogue — h1/h3 never touch HBM
+        eps_impl = int8_eps_pallas_fused if pallas_fuse_ends else int8_eps_pallas
         qvars = quantize_member(member_vars)
         b, c = y_T_mean.shape
         f_rows = jnp.broadcast_to(f, (mc_trials,) + f.shape).reshape(
@@ -106,7 +113,7 @@ def member_mc_sample(
         yhat_rows = jnp.broadcast_to(y0_hat, (mc_trials, b, c)).reshape(-1, c)
 
         def eps_fn(y, t):
-            out = int8_eps_pallas(qvars, f_rows, y.reshape(-1, c), t, yhat_rows)
+            out = eps_impl(qvars, f_rows, y.reshape(-1, c), t, yhat_rows)
             return out.astype(f.dtype).reshape(mc_trials, b, c)
 
         y_T_wide = jnp.broadcast_to(y_T_mean, (mc_trials, b, c))
@@ -155,6 +162,7 @@ def nested_ensemble_sample(
     use_int8_eps: bool = False,
     use_int8_encode: bool = False,
     use_int8_pallas: bool = False,
+    pallas_fuse_ends: bool = False,
     unroll: int = 1,
     noise_prior: bool = False,
 ) -> jnp.ndarray:
@@ -183,6 +191,7 @@ def nested_ensemble_sample(
         use_int8_eps=use_int8_eps,
         use_int8_encode=use_int8_encode,
         use_int8_pallas=use_int8_pallas,
+        pallas_fuse_ends=pallas_fuse_ends,
         unroll=unroll,
         noise_prior=noise_prior,
     )

@@ -183,6 +183,76 @@ def int8_linear_softplus(
     return h[:r, :n], hmax[:r]
 
 
+def _kernel_l12(
+    f_ref, y_ref, w1_ref, a1_ref, c1_ref, w2_ref, s_ref, c_ref,
+    h_ref, m_ref, xq_scr, xs_scr, *, cdtype,
+):
+    """lin1 fused into lin2's prologue: at j == 0 the whole h1 row block
+    (K = feature_dim columns, all resident in VMEM) is computed from the
+    f/y tiles, rounded to the compute dtype (matching int8_eps's stored
+    h1), quantized once into the int8 scratch, and the j sweep reuses it —
+    h1 never exists in HBM."""
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _prep():
+        z1 = jnp.dot(
+            y_ref[...].astype(jnp.float32), w1_ref[...].astype(jnp.float32),
+            preferred_element_type=jnp.float32,
+        )
+        h1_sp = jax.nn.softplus(z1 * a1_ref[...] + c1_ref[...]).astype(cdtype)
+        h1 = (f_ref[...] * h1_sp).astype(cdtype).astype(jnp.float32)
+        xm = jnp.max(jnp.abs(h1), axis=1, keepdims=True)
+        xs = jnp.maximum(xm, 1e-8) / 127.0
+        xs_scr[...] = xs
+        xq_scr[...] = jnp.clip(jnp.round(h1 / xs), -127, 127).astype(jnp.int8)
+
+    xs = xs_scr[...]
+    acc = jax.lax.dot_general(
+        xq_scr[...], w2_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    ).astype(jnp.float32)
+    h = jax.nn.softplus(acc * (xs * s_ref[...]) + c_ref[...]).astype(h_ref.dtype)
+    h_ref[...] = h
+    m = jnp.max(h.astype(jnp.float32), axis=1, keepdims=True)
+
+    @pl.when(j == 0)
+    def _init():
+        m_ref[...] = m
+
+    @pl.when(j > 0)
+    def _acc():
+        m_ref[...] = jnp.maximum(m_ref[...], m)
+
+
+def _kernel_l34(
+    x_ref, xm_ref, w3_ref, s_ref, c_ref, cs_ref, w4_ref, o_ref, *, cdtype,
+):
+    """lin4 fused into lin3's epilogue: lin3's N axis is lin4's K axis, so
+    each (br, bn) h3 tile contributes one partial (br, C) dot, accumulated
+    across the j sweep in the revisited f32 output — h3 never exists in
+    HBM. Padded lin3 columns carry c = -1e9 (softplus -> 0) AND zero rows
+    in the padded w4, so they contribute nothing twice over."""
+    xs = jnp.maximum(xm_ref[...].astype(jnp.float32), 1e-8) / 254.0
+    xq = jnp.clip(
+        jnp.round(x_ref[...].astype(jnp.float32) / xs) - 127.0, -127, 127
+    ).astype(jnp.int8)
+    acc = jax.lax.dot_general(
+        xq, w3_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    ).astype(jnp.float32) + 127.0 * cs_ref[...]
+    h3 = jax.nn.softplus(acc * (xs * s_ref[...]) + c_ref[...]).astype(cdtype)
+    part = jnp.dot(h3, w4_ref[...], preferred_element_type=jnp.float32)
+
+    @pl.when(pl.program_id(1) == 0)
+    def _init():
+        o_ref[...] = part
+
+    @pl.when(pl.program_id(1) > 0)
+    def _acc():
+        o_ref[...] = o_ref[...] + part
+
+
 def int8_eps_pallas(
     qvars,
     f: jnp.ndarray,
@@ -230,3 +300,135 @@ def int8_eps_pallas(
 
     dense4 = params["lin4"]["Dense_0"]
     return jnp.dot(h, dense4["kernel"], preferred_element_type=jnp.float32) + dense4["bias"]
+
+
+def int8_eps_pallas_fused(
+    qvars,
+    f: jnp.ndarray,
+    y: jnp.ndarray,
+    t: jnp.ndarray,
+    y_hat: jnp.ndarray,
+    block_r: int = 256,  # v2 holds an (br, K) int8 scratch + the f tile in
+    block_n: int = 512,  # VMEM; 512 rows would double-buffer past 16 MB
+    interpret: bool = None,
+) -> jnp.ndarray:
+    """v2 of :func:`int8_eps_pallas`: the entire eps forward as TWO kernel
+    calls, with lin1 fused into lin2's prologue and lin4 fused into lin3's
+    epilogue — per member-step the only hidden-size HBM traffic left is
+    one h2 write + one h2 read (v1 additionally round-trips h1 and h3,
+    ~180 MB/member-step at serving shapes).
+
+    Same quantization schemes and rounding order as kernels/int8.int8_eps;
+    the K-split lin4 accumulation differs only by f32 summation order.
+    """
+    params = qvars["params"]
+    stats = qvars["batch_stats"]
+    cdtype = f.dtype
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+
+    r, k = f.shape
+    y_in = jnp.concatenate([y, y_hat], axis=-1).astype(cdtype)
+    c2_in = y_in.shape[1]
+    ki = _round_up(c2_in, 128)  # lin1's contraction axis, lane-padded
+    y_in = jnp.pad(y_in, ((0, 0), (0, ki - c2_in)))
+
+    w1, a1, c1 = _fold(params["lin1"], params["unetnorm1"], stats["unetnorm1"], t)
+    _, a2, c2 = _fold(params["lin2"], params["unetnorm2"], stats["unetnorm2"], t)
+    w_q2, w_scale2, _ = qvars["int8"]["lin2"]
+    _, a3, c3 = _fold(params["lin3"], params["unetnorm3"], stats["unetnorm3"], t)
+    w_q3, w_scale3, colsum3 = qvars["int8"]["lin3"]
+    dense4 = params["lin4"]["Dense_0"]
+    w4 = dense4["kernel"]
+    n_out = w4.shape[1]
+    co = _round_up(n_out, 128)
+
+    n = w_q2.shape[1]
+    br = _pick_block_r(r, block_r)
+    bn = min(block_n, _round_up(n, 128))
+    rp, np_ = _round_up(r, br), _round_up(n, bn)
+    kp = _round_up(k, 128)
+    assert kp == _round_up(w_q2.shape[0], 128)
+
+    w1p = jnp.pad(w1.astype(cdtype), ((0, ki - c2_in), (0, kp - k)))
+    fp = jnp.pad(f, ((0, rp - r), (0, kp - k)))
+    yp = jnp.pad(y_in, ((0, rp - r), (0, 0)))
+    s2 = jnp.pad((w_scale2 * a2).astype(jnp.float32), (0, np_ - n))
+    c2p = jnp.pad(c2.astype(jnp.float32), (0, np_ - n), constant_values=_NEG_PAD)
+    grid = (rp // br, np_ // bn)
+
+    h2, hmax2 = pl.pallas_call(
+        functools.partial(_kernel_l12, cdtype=cdtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((br, kp), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((br, ki), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((ki, kp), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, kp), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, kp), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((kp, bn), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bn), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bn), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((br, bn), lambda i, j: (i, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((br, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((rp, np_), cdtype),
+            jax.ShapeDtypeStruct((rp, 1), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((br, kp), jnp.int8),
+            pltpu.VMEM((br, 1), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * rp * np_ * kp + 2 * rp * kp * ki,
+            bytes_accessed=(rp * kp + kp * np_) * 2,
+            transcendentals=2 * rp * np_,
+        ),
+        interpret=interpret,
+    )(
+        fp,
+        yp,
+        w1p,
+        jnp.pad(a1.astype(jnp.float32), (0, kp - k)).reshape(1, kp),
+        jnp.pad(c1.astype(jnp.float32), (0, kp - k)).reshape(1, kp),
+        jnp.pad(w_q2, ((0, kp - w_q2.shape[0]), (0, np_ - n))),
+        s2.reshape(1, np_),
+        c2p.reshape(1, np_),
+    )
+
+    # ---- lin3 (zp) + lin4 accumulation ----------------------------------
+    n3 = w_q3.shape[1]
+    np3 = _round_up(n3, bn)
+    s3 = jnp.pad((w_scale3 * a3).astype(jnp.float32), (0, np3 - n3))
+    c3p = jnp.pad(c3.astype(jnp.float32), (0, np3 - n3), constant_values=_NEG_PAD)
+    cs3 = jnp.pad(colsum3.astype(jnp.float32), (0, np3 - n3))
+    w4p = jnp.pad(w4.astype(cdtype), ((0, np3 - n3), (0, co - n_out)))
+    grid3 = (rp // br, np3 // bn)
+
+    out = pl.pallas_call(
+        functools.partial(_kernel_l34, cdtype=cdtype),
+        grid=grid3,
+        in_specs=[
+            pl.BlockSpec((br, np_), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((br, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((np_, bn), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bn), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bn), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bn), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bn, co), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((br, co), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((rp, co), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * rp * np3 * np_ + 2 * rp * np3 * co,
+            bytes_accessed=rp * np_ * 2 + np_ * np3 + rp * co * 4,
+            transcendentals=rp * np3,
+        ),
+        interpret=interpret,
+    )(h2, hmax2, jnp.pad(w_q3, ((0, np_ - w_q3.shape[0]), (0, np3 - n3))),
+      s3.reshape(1, np3), c3p.reshape(1, np3), cs3.reshape(1, np3), w4p)
+
+    return out[:r, :n_out] + dense4["bias"]

@@ -142,6 +142,9 @@ def main():
     scan_pallas_int8_fn = jax.jit(lambda s, yh, k: nested_ensemble_sample(
         cond, s, x_flat, yh, k, sched, mc_trials=K, tau=tau, eta=args.eta,
         use_int8_pallas=True))
+    scan_pallas_v2_fn = jax.jit(lambda s, yh, k: nested_ensemble_sample(
+        cond, s, x_flat, yh, k, sched, mc_trials=K, tau=tau, eta=args.eta,
+        use_int8_pallas=True, pallas_fuse_ends=True))
     if args.int8_encode:
         # resident pre-quantized trees, exactly as the Predictor holds them
         from ladine_tpu.kernels.int8 import (
@@ -198,6 +201,8 @@ def main():
          [(stacked, yh, k) for yh, k in zip(yh_vars, keys)], 1),
     ] if args.int8 else []) + ([
         ("scan_pallas_int8_ms", scan_pallas_int8_fn,
+         [(stacked, yh, k) for yh, k in zip(yh_vars, keys)], 1),
+        ("scan_pallas_v2_ms", scan_pallas_v2_fn,
          [(stacked, yh, k) for yh, k in zip(yh_vars, keys)], 1),
     ] if args.pallas_int8 else []) + ([
         ("encode_int8_ms", enc_int8_fn,

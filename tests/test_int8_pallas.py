@@ -145,3 +145,59 @@ def test_tpu_lowering_exports():
     fn = jax.jit(lambda *a: int8_linear_softplus(*a, interpret=False))
     exp = jax.export.export(fn, platforms=["tpu"])(x, xmax, w_q, s, c)
     assert tuple(exp.out_avals[0].shape) == (r, n)
+
+
+def test_int8_eps_pallas_fused_matches_int8_eps(cm):
+    """v2 (lin1-in-prologue + lin4 K-accumulation) matches the XLA int8
+    path up to f32 associativity; bf16 stays within the int8 error budget."""
+    from ladine_tpu.kernels.int8_pallas import int8_eps_pallas_fused
+
+    model, v, x, y, yhat = cm
+    f = model.apply(v, x, method="encode")
+    qv = quantize_member(v)
+    ref = int8_eps(qv, f, y, jnp.asarray(5), yhat)
+    got = int8_eps_pallas_fused(qv, f, y, jnp.asarray(5), yhat,
+                                block_r=8, block_n=128)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-4, atol=1e-4)
+
+    fb = f.astype(jnp.bfloat16)
+    ref16 = int8_eps(qv, fb, y.astype(jnp.bfloat16), jnp.asarray(5),
+                     yhat.astype(jnp.bfloat16))
+    got16 = int8_eps_pallas_fused(qv, fb, y.astype(jnp.bfloat16), jnp.asarray(5),
+                                  yhat.astype(jnp.bfloat16), block_r=8, block_n=128)
+    assert got16.dtype == jnp.float32
+    err = float(jnp.abs(got16 - ref16).mean() / (jnp.abs(ref16).mean() + 1e-8))
+    assert err < 0.02, f"v2 bf16 pallas-vs-xla relative error {err:.4f}"
+
+
+def test_engine_pallas_v2_runs(cm):
+    model, v, x, y, yhat = cm
+    sched = DiffusionSchedule.create("linear", 11, 1e-4, 0.02)
+    tau = ddim_timesteps(11, 5)
+    out = member_mc_sample(
+        model, v, x, yhat, jax.random.PRNGKey(7), sched, mc_trials=4, tau=tau,
+        eta=0.0, use_int8_pallas=True, pallas_fuse_ends=True,
+    )
+    assert out.shape == (4, x.shape[0], 2)
+    assert bool(jnp.all(jnp.isfinite(out)))
+
+
+def test_tpu_lowering_exports_v2():
+    """v2's two fused kernels must keep lowering for the TPU target."""
+    from ladine_tpu.kernels.int8_pallas import int8_eps_pallas_fused
+    from ladine_tpu.models import ConditionalModel as CM
+
+    model = CM(data_dim=24, feature_dim=512, hidden_dim=512, y_dim=2,
+               n_steps=11, dtype=jnp.bfloat16)
+    x = jnp.zeros((8, 24))
+    y = jnp.zeros((8, 2))
+    yhat = jnp.full((8, 2), 0.5)
+    v = model.init(jax.random.PRNGKey(0), x, y, jnp.asarray(5), yhat)
+    qv = quantize_member(v)
+    f = jnp.zeros((256, 512), jnp.bfloat16)
+    yr = jnp.zeros((256, 2), jnp.bfloat16)
+    yh = jnp.full((256, 2), 0.5, jnp.bfloat16)
+    fn = jax.jit(lambda f, y, yh: int8_eps_pallas_fused(
+        qv, f, y, jnp.asarray(5), yh, interpret=False))
+    exp = jax.export.export(fn, platforms=["tpu"])(f, yr, yh)
+    assert tuple(exp.out_avals[0].shape) == (256, 2)
