@@ -73,11 +73,13 @@ def run(n_train_steps=1500, mc_trials=100, seed=0, verbose=True):
         ("ddim", model, ddim_tau, False, False),
         ("int8_bf16", model_bf16, ddim_tau, True, False),
         ("pallas_int8", model_bf16, ddim_tau, False, True),
+        ("pallas_v2", model_bf16, ddim_tau, False, True),
     ]:
         samples = member_mc_sample(
             mdl, variables, jnp.asarray(grid), jnp.full((41, 2), 0.5),
             jax.random.PRNGKey(123), sched, mc_trials, tau=tau,
             use_int8_eps=int8, use_int8_pallas=pallas,
+            pallas_fuse_ends=(name == "pallas_v2"),
         )  # (mc_trials, 41, 2)
         p_hat = np.asarray(jnp.argmax(samples, -1)).mean(axis=0)
         maes[name] = float(np.abs(p_hat - p_true).mean())
@@ -88,7 +90,8 @@ def run(n_train_steps=1500, mc_trials=100, seed=0, verbose=True):
         print(f"MAE(p_mc, p_analytic): ancestral={maes['ancestral']:.4f}  "
               f"ddim({max(T // 20, 4)} steps)={maes['ddim']:.4f}  "
               f"int8+bf16 intermediates={maes['int8_bf16']:.4f}  "
-              f"pallas-fused int8={maes['pallas_int8']:.4f}")
+              f"pallas-fused int8={maes['pallas_int8']:.4f}  "
+              f"pallas v2={maes['pallas_v2']:.4f}")
     return maes["ancestral"]
 
 

@@ -83,6 +83,9 @@ class EvalConfig:
     # fused Pallas int8 scan body (kernels/int8_pallas.py; MC trials fold
     # into GEMM rows) — the accuracy-gate row for the --pallas_int8 bench
     use_int8_pallas: bool = False
+    # with use_int8_pallas: v2 kernels (lin1/lin4 fused into the Pallas
+    # calls); same quantization math, fp32-equal to v1 by test
+    pallas_fuse_ends: bool = False
 
 
 def make_eval_pipeline(
@@ -166,6 +169,7 @@ def make_eval_pipeline(
             use_int8_eps=cfg.use_int8 and not cfg.use_int8_pallas,
             use_int8_encode=cfg.use_int8_encode,
             use_int8_pallas=cfg.use_int8_pallas,
+            pallas_fuse_ends=cfg.pallas_fuse_ends,
         )
 
     if mesh is None:

@@ -77,6 +77,8 @@ class Predictor:
     # XLA int8 path; MC trials fold into GEMM rows. Opt-in pending the
     # hardware A/B (bench --pallas_int8) — takes precedence over use_int8.
     use_int8_pallas: bool = False
+    # with use_int8_pallas: v2 kernels (lin1/lin4 fused in; bench --pallas_v2)
+    pallas_fuse_ends: bool = False
     seed: int = 0
     # which guidance heads condition the stacked members; None = heads
     # 0..n_stacked-1 (set to e.g. (2,) for a single-member --mlp_idx artifact)
@@ -172,6 +174,7 @@ class Predictor:
                 noise_prior=self.noise_prior,
                 use_int8_encode=self.use_int8_encode,
                 use_int8_pallas=self.use_int8_pallas,
+                pallas_fuse_ends=self.pallas_fuse_ends,
             )
             m, k, b, c = samples.shape
             flat = samples.reshape(m * k, b, c)
@@ -291,6 +294,7 @@ class Predictor:
             "use_int8": self.use_int8,
             "use_int8_encode": self.use_int8_encode,
             "use_int8_pallas": self.use_int8_pallas,
+            "pallas_fuse_ends": self.pallas_fuse_ends,
             "head_indices": list(self.head_indices) if self.head_indices else None,
             # the COMPUTE dtype is part of the artifact: dropping it on
             # reload silently rebuilt bf16-run models as fp32 compute, so a
@@ -461,6 +465,7 @@ class Predictor:
             use_int8=meta["use_int8"],
             use_int8_encode=meta.get("use_int8_encode", False),
             use_int8_pallas=meta.get("use_int8_pallas", False),
+            pallas_fuse_ends=meta.get("pallas_fuse_ends", False),
             head_indices=tuple(hi) if hi else None,
         )
         if preset is not None:
