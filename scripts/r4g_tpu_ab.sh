@@ -18,8 +18,10 @@ tail -1 /tmp/r4g_profile.json || true
 
 for cfg in "--ddim 10 --int8 --int8_encode:int8_b70" \
            "--ddim 10 --pallas_int8 --int8_encode:pallas_b70" \
+           "--ddim 10 --pallas_int8 --pallas_v2 --int8_encode:pallasv2_b70" \
            "--ddim 10 --int8 --int8_encode --batch 280:int8_b280" \
-           "--ddim 10 --pallas_int8 --int8_encode --batch 280:pallas_b280"; do
+           "--ddim 10 --pallas_int8 --int8_encode --batch 280:pallas_b280" \
+           "--ddim 10 --pallas_int8 --pallas_v2 --int8_encode --batch 280:pallasv2_b280"; do
   flags="${cfg%%:*}"; name="${cfg##*:}"
   echo "[ab] $(date -u +%H:%M:%S) bench $name ($flags)..."
   timeout 2400 python bench.py $flags > "/tmp/r4g_bench_$name.json" \
