@@ -89,6 +89,16 @@ def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
+def _block_overrides(block_r: int, block_n: int):
+    """On-chip block tuning without code edits: LADINE_PALLAS_BLOCK_R / _N
+    env vars override the callers' defaults when set (measurement only —
+    production callers pass explicit sizes)."""
+    import os
+
+    return (int(os.environ.get("LADINE_PALLAS_BLOCK_R", block_r)),
+            int(os.environ.get("LADINE_PALLAS_BLOCK_N", block_n)))
+
+
 def _pick_block_r(r: int, block_r: int) -> int:
     """Largest row block <= block_r that divides r (multiple of 8 for the
     f32 sublane tile), so the activation needs NO pad copy inside the scan
@@ -135,6 +145,7 @@ def int8_linear_softplus(
     zp = colsum is not None
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+    block_r, block_n = _block_overrides(block_r, block_n)
 
     br = _pick_block_r(r, block_r)
     bn = min(block_n, _round_up(n, 128))
@@ -344,6 +355,7 @@ def int8_eps_pallas_fused(
     co = _round_up(n_out, 128)
 
     n = w_q2.shape[1]
+    block_r, block_n = _block_overrides(block_r, block_n)
     br = _pick_block_r(r, block_r)
     bn = min(block_n, _round_up(n, 128))
     rp, np_ = _round_up(r, br), _round_up(n, bn)
