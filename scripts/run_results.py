@@ -43,7 +43,9 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 # 30 min of no log growth) + one retry turns a stuck overnight run into a
 # resumed one without murdering legitimately long steps (full-dims CPU evals
 # or multi-hour member training have no total-time cap at all).
-STALL_TIMEOUT_S = 1800
+STALL_TIMEOUT_S = 1200  # 2x the longest healthy quiet stretch (~10 min cold
+# remote compile); lowered from 1800 after a VM showed startup-RPC wedges on
+# 2 of 5 consecutive mapping steps (2026-08-19, docs/OPERATIONS.md)
 
 
 def sh(args, log_path, env=None, stall_timeout=STALL_TIMEOUT_S, retries=1,
