@@ -192,6 +192,12 @@ def suite_dict(fast: bool) -> dict:
         # accuracy gate for bench --pallas_int8 (kernels/int8_pallas.py)
         "int8_pallas": {"ddim_steps": 10, "ddim_eta": 1.0,
                         "use_int8_pallas": True, "use_int8_encode": True},
+        # v2 fused variant (lin1 in lin2's prologue, lin4 in lin3's
+        # epilogue — bench --pallas_v2): its own full-dims accuracy gate,
+        # same preset as int8_pallas
+        "int8_pallas_v2": {"ddim_steps": 10, "ddim_eta": 1.0,
+                           "use_int8_pallas": True, "pallas_fuse_ends": True,
+                           "use_int8_encode": True},
         "full": {},  # the PARITY workload: full 1000-step ancestral chain
         # step sweep: if accuracy/ECE/uncertainty hold at fewer steps, the
         # serving preset can drop steps for a proportional throughput win
@@ -700,6 +706,10 @@ def main():
         lines.append(md_row(
             "clean, DDIM-10, fused Pallas int8 scan body + resident int8 "
             "encoder/heads (bench --pallas_int8)", clean_int8_pallas))
+    if (clean_int8_pallas_v2 := row_report("int8_pallas_v2")) is not None:
+        lines.append(md_row(
+            "clean, DDIM-10, fused Pallas int8 v2 (lin1/lin4 folded into "
+            "the hot GEMMs; bench --pallas_v2)", clean_int8_pallas_v2))
     for name, r in sweep.items():
         steps = name[1:]
         lines.append(md_row(f"clean, DDIM-{steps} eta=1 (step sweep)", r))
