@@ -201,3 +201,30 @@ def test_tpu_lowering_exports_v2():
         qv, f, y, jnp.asarray(5), yh, interpret=False))
     exp = jax.export.export(fn, platforms=["tpu"])(f, yr, yh)
     assert tuple(exp.out_avals[0].shape) == (256, 2)
+
+
+def test_pick_block_r_divisor_selection():
+    """Block picker prefers a dividing multiple-of-8 (no pad copy in the
+    scan body) and only falls back to padding when none exists. The serving
+    row counts (MC*B = 1400 / 5600) must hit the no-pad path."""
+    from ladine_tpu.kernels.int8_pallas import _pick_block_r
+
+    assert _pick_block_r(1400, 512) == 280   # largest mult-of-8 divisor <= 512
+    assert _pick_block_r(5600, 512) == 400
+    assert _pick_block_r(1024, 512) == 512   # exact divide keeps the default
+    assert _pick_block_r(7, 512) == 8        # r <= block: rounded up, padded
+    assert _pick_block_r(23, 8) == 8         # no divisor: fall back to pad
+    assert _pick_block_r(1400, 512) % 8 == 0
+
+
+def test_block_env_overrides(monkeypatch):
+    """LADINE_PALLAS_BLOCK_R/_N env vars override caller defaults (the
+    on-chip tuning hook); unset env leaves the defaults untouched."""
+    from ladine_tpu.kernels.int8_pallas import _block_overrides
+
+    monkeypatch.delenv("LADINE_PALLAS_BLOCK_R", raising=False)
+    monkeypatch.delenv("LADINE_PALLAS_BLOCK_N", raising=False)
+    assert _block_overrides(512, 256) == (512, 256)
+    monkeypatch.setenv("LADINE_PALLAS_BLOCK_R", "128")
+    monkeypatch.setenv("LADINE_PALLAS_BLOCK_N", "1024")
+    assert _block_overrides(512, 256) == (128, 1024)
