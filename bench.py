@@ -133,6 +133,10 @@ def parse_args():
                          "not pay — the record says so.")
     ap.add_argument("--train", action="store_true",
                     help="benchmark the diffusion-member training step only")
+    ap.add_argument("--lowmem", action="store_true",
+                    help="with --train: bf16 Adam/EMA state with stochastic "
+                         "rounding (optim.lowmem) — cuts the analytic HBM "
+                         "floor from 40*P to 28*P bytes/step")
     ap.add_argument("--full", action="store_true",
                     help="force the full battery even with --tiny/--cpu "
                          "(contract tests use this)")
@@ -471,7 +475,7 @@ def _mfu_fields(jitted, example_args, batch, img_per_sec, analytic=None):
     return fields
 
 
-def train_bench(args):
+def train_bench(args, lowmem=False):
     """Diffusion-member training throughput: one full-size member, the
     reference's per-step work (antithetic t, q_sample, eps forward+backward,
     clip, Adam, EMA) on a training batch. fp32 state (Adam numerics), bf16
@@ -490,12 +494,14 @@ def train_bench(args):
     cond = ConditionalModel(data_dim=img * img * 3, feature_dim=feat,
                             hidden_dim=hidden, y_dim=2, n_steps=T + 1, dtype=dtype)
     sched = DiffusionSchedule.create("linear", T, 1e-4, 0.02)
-    tx = make_optimizer("Adam", 1e-3, grad_clip=1.0)
+    tx = make_optimizer("Adam", 1e-3, grad_clip=1.0, lowmem=lowmem)
 
     # structure via eval_shape, deterministic fill (see _materialize; fp32
-    # state is kept fp32 — Adam numerics are part of the workload)
+    # state is kept fp32 — Adam numerics are part of the workload; with
+    # --lowmem the moments/EMA come out bf16 from the factories)
     shapes = jax.eval_shape(
-        lambda: create_member_state(cond, jax.random.PRNGKey(0), tx, batch_size=1)
+        lambda: create_member_state(cond, jax.random.PRNGKey(0), tx,
+                                    batch_size=1, lowmem=lowmem)
     )
     i = [0]
 
@@ -533,11 +539,13 @@ def train_bench(args):
     value = B / best
     mfu = _mfu_fields(step, (state, x, y0, yhat, jax.random.PRNGKey(2)),
                       B, value)
+    state_desc = ("bf16 Adam+EMA state, stochastic rounding" if lowmem
+                  else "fp32 Adam+EMA")
     record = {
         **mfu,
         "metric": "diffusion_member_train_images_per_sec",
         "value": round(value, 1),
-        "unit": f"images/sec (batch {B}, full-size member, fp32 Adam+EMA)",
+        "unit": f"images/sec (batch {B}, full-size member, {state_desc})",
         # conservative: against the unachievable analytic A100 floor; the
         # range's upper end divides by the 2x-degraded eager estimate (see
         # module docstring — the 2x is asserted, not measured)
@@ -546,8 +554,10 @@ def train_bench(args):
                               round(value / TRAIN_BASELINE_ESTIMATE, 2)],
         "timing": "sync",
         "sync_best_s": round(best, 4),
-        **_train_hbm_fields(state, best),
+        **_train_hbm_fields(state, best, lowmem),
     }
+    if lowmem:
+        record["name"] = "train_step_lowmem"
     del state, step
     return record
 
@@ -556,7 +566,7 @@ def train_bench(args):
 V5E_HBM_GBPS = 819.0
 
 
-def _train_hbm_fields(state, step_s: float) -> dict:
+def _train_hbm_fields(state, step_s: float, lowmem: bool = False) -> dict:
     """HBM-utilization lens for the training record. The train step is
     BANDWIDTH-bound, not FLOP-bound — its MXU utilization is ~2.5% by
     construction (one batch of rows against ~0.7B fp32 params), so MFU is
@@ -570,12 +580,16 @@ def _train_hbm_fields(state, step_s: float) -> dict:
     import jax
 
     p = sum(int(x.size) for x in jax.tree.leaves(state.params))
-    floor_gb = 40.0 * p / 1e9
+    # lowmem: moments + EMA are 2-byte bf16 -> state read/write drop from
+    # 16P each to 10P each (params 4P + m/v/ema 3*2P)
+    bpp = 28.0 if lowmem else 40.0
+    floor_gb = bpp * p / 1e9
     fields = {
         "hbm_floor_gb_per_step": round(floor_gb, 2),
-        "hbm_method": ("analytic fp32 traffic floor 40*P bytes "
-                       "(fwd 4P + bwd 4P + Adam/EMA state read 16P + "
-                       "write 16P), P = member params"),
+        "hbm_method": (f"analytic traffic floor {bpp:.0f}*P bytes "
+                       "(fwd 4P + bwd 4P + Adam/EMA state read "
+                       f"{'10P' if lowmem else '16P'} + write "
+                       f"{'10P' if lowmem else '16P'}), P = member params"),
     }
     if jax.devices()[0].platform != "cpu":
         fields["hbm_util_pct"] = round(
@@ -671,7 +685,7 @@ def main():
                or args.int8_encode or args.pallas
                or args.pallas_int8) and not args.full
     if args.train and not args.full:
-        print(json.dumps(train_bench(args)))
+        print(json.dumps(train_bench(args, lowmem=args.lowmem)))
         return
     if focused:
         print(json.dumps(run_inference(args, args.ddim, args.eta, args.int8,
@@ -746,6 +760,10 @@ def _run_battery(args):
                                int8_encode=True,
                                batch=min(args.batch * 4, 280))),
         ("train_step", lambda: train_bench(args)),
+        # the lowmem A/B rides in the default battery so the driver's
+        # round-end run measures it on chip without a separate invocation
+        # (round-4 verdict Next #3)
+        ("train_step_lowmem", lambda: train_bench(args, lowmem=True)),
     ]
     fail_after = int(os.environ.get("LADINE_BENCH_FAIL_AFTER", "0") or 0)
     # start marker carries the config class so smoke records can never be

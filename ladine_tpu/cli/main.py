@@ -106,6 +106,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "weights + sampler/quantization knobs evaluated")
     p.add_argument("--eval_guidance", action="store_true",
                    help="report guidance majority-vote accuracy and exit")
+    p.add_argument("--set", action="append", default=[], metavar="K=V",
+                   dest="set_overrides",
+                   help="dotted-path config override, repeatable "
+                        "(e.g. --set optim.lowmem=true --set optim.lr=5e-4); "
+                        "values parsed as YAML scalars, applied after the "
+                        "YAML file and the dedicated flags")
     # diffusion overrides
     p.add_argument("--timesteps", type=int, default=None)
     p.add_argument("--ddim", type=int, default=0, help="strided sampler steps (0 = full chain)")
@@ -253,6 +259,16 @@ def main(argv=None) -> int:
         cfg.model.fsdp = True
     if args.mc_trials:
         cfg.testing.mc_trials = args.mc_trials
+    if args.set_overrides:
+        import yaml as _yaml
+
+        kv = {}
+        for s in args.set_overrides:
+            if "=" not in s:
+                raise SystemExit(f"--set expects section.key=value, got {s!r}")
+            k, v = s.split("=", 1)
+            kv[k] = _yaml.safe_load(v)
+        cfg.apply_overrides(kv)
     cfg.data.seed = args.seed
 
     log_dir = os.path.join(args.exp, "logs", args.doc)

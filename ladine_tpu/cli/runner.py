@@ -549,7 +549,8 @@ class Runner:
             else c.optim.lr
         )
         tx = make_optimizer(c.optim.optimizer, lr, c.optim.weight_decay,
-                            c.optim.beta1, c.optim.eps, c.optim.grad_clip)
+                            c.optim.beta1, c.optim.eps, c.optim.grad_clip,
+                            lowmem=c.optim.lowmem)
         yhat_train = yhat_valid = None
         if precompute_yhat:
             # run the guidance over both splits BEFORE member state
@@ -600,7 +601,8 @@ class Runner:
                         vit_ckpt=vit_ckpt, mlp_dir=mlp_dir, host_only=True)
                 else:
                     gvars = jax.device_get(gvars)
-        states = create_member_states(self.cond, key, tx, n_train_members)
+        states = create_member_states(self.cond, key, tx, n_train_members,
+                                      lowmem=c.optim.lowmem)
         mesh = self._maybe_mesh(c.training.batch_size) if member_idx is None else None
         start_epoch = 0
         best_acc = -1.0

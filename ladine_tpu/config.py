@@ -124,6 +124,11 @@ class OptimConfig:
     grad_clip: float = 1.0
     lr_schedule: bool = True
     min_lr: float = 0.0
+    # bf16 Adam moments + bf16 EMA accumulator with stochastic rounding
+    # (train/lowmem.py): cuts the bandwidth-bound member step's analytic
+    # HBM floor from 40*P to 28*P bytes. No reference counterpart (fp32
+    # Adam, utils.py:52-63); accuracy-gated by tests/test_lowmem.py.
+    lowmem: bool = False
 
 
 @dataclass

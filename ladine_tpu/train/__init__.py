@@ -5,6 +5,13 @@ from ladine_tpu.train.ema import (
     ema_read,
     ema_update,
 )
+from ladine_tpu.train.lowmem import (
+    adam_bf16,
+    bf16_stochastic_round,
+    ema_init_bf16,
+    ema_update_sr,
+    scale_by_adam_bf16,
+)
 from ladine_tpu.train.optim import (
     cosine_warm_restarts,
     make_optimizer,

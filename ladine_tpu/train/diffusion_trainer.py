@@ -34,6 +34,7 @@ from ladine_tpu.ops.diffusion import antithetic_timesteps, q_sample
 from ladine_tpu.ops.labels import one_hot_and_prototype
 from ladine_tpu.ops.schedules import DiffusionSchedule
 from ladine_tpu.train.ema import ema_init, ema_update
+from ladine_tpu.train.lowmem import ema_init_bf16, ema_update_sr
 
 
 class MemberTrainState(flax.struct.PyTreeNode):
@@ -51,7 +52,10 @@ def create_member_state(
     key: jax.Array,
     tx: optax.GradientTransformation,
     batch_size: int = 2,
+    lowmem: bool = False,
 ) -> MemberTrainState:
+    """``lowmem``: bf16 EMA accumulator (pairs with make_optimizer(...,
+    lowmem=True)'s bf16 Adam moments; train/lowmem.py)."""
     x = jnp.zeros((batch_size, model.data_dim))
     y = jnp.zeros((batch_size, model.y_dim))
     yhat = jnp.full((batch_size, model.y_dim), 1.0 / model.y_dim)
@@ -61,7 +65,7 @@ def create_member_state(
         params=params,
         batch_stats=variables["batch_stats"],
         opt_state=tx.init(params),
-        ema=ema_init(params),
+        ema=ema_init_bf16(params) if lowmem else ema_init(params),
         step=jnp.asarray(0, jnp.int32),
     )
 
@@ -72,6 +76,7 @@ def create_member_states(
     tx: optax.GradientTransformation,
     num_members: int,
     batch_size: int = 2,
+    lowmem: bool = False,
 ) -> MemberTrainState:
     """Stacked states for all members (independent inits, like the
     reference's five separate runs).
@@ -90,7 +95,7 @@ def create_member_states(
 
     out = None
     for k in keys:
-        one = expand(create_member_state(model, k, tx, batch_size))
+        one = expand(create_member_state(model, k, tx, batch_size, lowmem))
         # concatenate one member at a time; the per-iteration transient is
         # one member's state, not the whole ensemble's
         out = one if out is None else jax.tree.map(
@@ -144,7 +149,17 @@ def make_member_step(
         (loss, new_bs), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
-        new_ema = ema_update(state.ema, new_params, ema_rate)
+        # the accumulator's dtype (static at trace time) selects the EMA
+        # rule: bf16 state (optim.lowmem) accumulates with stochastic
+        # rounding — (1-mu) increments are below the bf16 ulp, so
+        # round-to-nearest would stall the average (train/lowmem.py). The
+        # SR key is folded off the step key, leaving the t/noise stream
+        # (k_t, k_e) bit-identical to the fp32 path.
+        if jax.tree.leaves(state.ema)[0].dtype == jnp.bfloat16:
+            new_ema = ema_update_sr(state.ema, new_params, ema_rate,
+                                    jax.random.fold_in(key, 2))
+        else:
+            new_ema = ema_update(state.ema, new_params, ema_rate)
         return (
             state.replace(
                 params=new_params,

@@ -92,17 +92,28 @@ def make_optimizer(
     beta1: float = 0.9,
     eps: float = 1e-8,
     grad_clip: Optional[float] = 1.0,
+    lowmem: bool = False,
 ) -> optax.GradientTransformation:
     """Reference optimizer factory (utils.py:52-63) + grad clipping.
 
     Note: the reference's Adam applies torch-style L2-in-gradient weight
     decay (always 0 in the live configs); 'AdamW' is decoupled decay for the
     ViT fine-tune (train_transformer.py:94-97).
+
+    ``lowmem`` (Adam only): store the moments in bf16 with stochastic
+    rounding (train/lowmem.py) — same update direction, ~1.4x lower
+    HBM-state traffic on the bandwidth-bound member train step.
     """
     if name == "Adam":
-        tx = optax.adam(lr, b1=beta1, b2=0.999, eps=eps)
-        if weight_decay:
-            tx = optax.chain(optax.add_decayed_weights(weight_decay), tx)
+        if lowmem:
+            from ladine_tpu.train.lowmem import adam_bf16
+
+            tx = adam_bf16(lr, b1=beta1, b2=0.999, eps=eps,
+                           weight_decay=weight_decay)
+        else:
+            tx = optax.adam(lr, b1=beta1, b2=0.999, eps=eps)
+            if weight_decay:
+                tx = optax.chain(optax.add_decayed_weights(weight_decay), tx)
     elif name == "AdamW":
         tx = optax.adamw(lr, b1=beta1, b2=0.999, eps=eps, weight_decay=weight_decay)
     elif name == "RMSProp":
