@@ -48,6 +48,27 @@ STALL_TIMEOUT_S = 1200  # 2x the longest healthy quiet stretch (~10 min cold
 # 2 of 5 consecutive mapping steps (2026-08-19, docs/OPERATIONS.md)
 
 
+# the in-flight child (it holds the accelerator). A deadline handoff stops
+# this driver BY PID (docs/OPERATIONS.md round-end contention plan) — that
+# TERM must reap the child's whole session too, or an orphaned eval keeps
+# the chip and defeats the handoff (round-5 hardening of the r4 doctrine).
+_CURRENT_PROC = None
+
+
+def _on_terminate(signum, frame):
+    p = _CURRENT_PROC
+    if p is not None and p.poll() is None:
+        try:
+            os.killpg(os.getpgid(p.pid), signal.SIGKILL)
+        except (OSError, ProcessLookupError):
+            p.kill()
+    sys.exit(128 + signum)
+
+
+signal.signal(signal.SIGTERM, _on_terminate)
+signal.signal(signal.SIGINT, _on_terminate)
+
+
 def sh(args, log_path, env=None, stall_timeout=STALL_TIMEOUT_S, retries=1,
        done_check=None):
     """Run one step; kill + retry on a silence stall (wedged tunnel RPC).
@@ -72,6 +93,8 @@ def sh(args, log_path, env=None, stall_timeout=STALL_TIMEOUT_S, retries=1,
             proc = subprocess.Popen(args, cwd=REPO, env=env, stdout=f,
                                     stderr=subprocess.STDOUT,
                                     start_new_session=True)
+            global _CURRENT_PROC
+            _CURRENT_PROC = proc
             stalled = False
             last_size, last_growth = os.path.getsize(log_path), time.time()
             while True:
