@@ -47,10 +47,24 @@ def bf16_stochastic_round(key: jax.Array, x: jnp.ndarray) -> jnp.ndarray:
     return jax.lax.bitcast_convert_type(out, jnp.float32).astype(jnp.bfloat16)
 
 
+def _rbg_key(key: jax.Array) -> jax.Array:
+    """Re-seed a hardware-RNG (rbg) key from any PRNG key.
+
+    The SR draw covers EVERY optimizer-state element (~3*P words/step at
+    full dims — billions): threefry bits at that volume would dominate the
+    step on the VPU, defeating the bandwidth win. The TPU's rbg hardware
+    generator is effectively free; its weaker stream independence is
+    irrelevant for rounding noise (only per-element uniformity matters).
+    One threefry draw seeds it, so the caller's key semantics (fold_in per
+    step) still select the stream."""
+    seeds = jax.random.bits(key, (4,), jnp.uint32)
+    return jax.random.wrap_key_data(seeds, impl="rbg")
+
+
 def _tree_sr_bf16(key: jax.Array, tree: Any) -> Any:
-    """Stochastically round every leaf, one folded key per leaf."""
+    """Stochastically round every leaf, one folded rbg key per leaf."""
     leaves, treedef = jax.tree.flatten(tree)
-    keys = jax.random.split(key, len(leaves))
+    keys = jax.random.split(_rbg_key(key), len(leaves))
     return jax.tree.unflatten(
         treedef, [bf16_stochastic_round(k, l) for k, l in zip(keys, leaves)]
     )
