@@ -58,7 +58,7 @@ def test_bench_full_battery_contract(tmp_path):
                            "serving_ddim10_int8",
                            "serving_ddim10_int8_encode",
                            "serving_ddim10_int8_encode_maxbatch",
-                           "train_step"}
+                           "train_step", "train_step_lowmem"}
     # the max-throughput point runs at 4x the battery batch (sweep knee)
     assert "batch 16" in extras["serving_ddim10_int8_encode_maxbatch"]["unit"]
     for e in extras.values():
@@ -144,7 +144,7 @@ def test_bench_battery_partial_on_failure(tmp_path):
     assert len(lines) == 1, f"stdout must be ONE JSON line, got: {lines}"
     rec = json.loads(lines[0])
     assert REQUIRED_KEYS <= set(rec)
-    assert "error" in rec and "aborted at config 3/7" in rec["error"]
+    assert "error" in rec and "aborted at config 3/8" in rec["error"]
     # headline (config 1) completed; config 2 rides in extra_metrics
     assert rec["name"] == "ancestral_1000_parity_workload"
     assert rec["value"] > 0
