@@ -1,6 +1,25 @@
 """Pallas fused int8 GEMM + dequant/affine/softplus epilogue + row-max.
 
-Closes the measured gap between the int8 scan step and its GEMM floor.
+STATUS (2026-08-20, round-5 hardware A/B — DEMOTED to opt-in): on one v5e
+chip at the serving preset (DDIM-10, int8 encode+heads) the XLA int8 path
+beats both kernel variants at every measured point:
+
+  batch 70:   XLA 1590.0 img/s | v1 1479.9 (-6.9%) | v2 1435.3 (-9.7%)
+  batch 280:  XLA 1945.1 img/s | v1 1601.8 (-17.7%) | v2 1553.7 (-20.1%)
+  (evidence/r5_bench_*.json; evidence/bench_partials.jsonl)
+
+The premise below — that the int32 accumulator round-trip and the separate
+row-max pass are unfused HBM traffic XLA cannot remove — did not survive
+measurement: at the 280-image knee XLA's compiled program already sustains
+93.4% of the analytic MXU floor, so there was <7% of headroom for ANY
+hand kernel, and this one pays more in weight re-streaming per R-tile than
+it saves in elementwise traffic. The kernels stay available behind
+``use_int8_pallas`` / ``pallas_fuse_ends`` (CPU-interpret equality tests +
+full-dims accuracy rows keep them honest), but the serving preset and the
+bench battery default to the XLA int8 path.
+
+Original design rationale (kept for the record):
+closes the measured gap between the int8 scan step and its GEMM floor.
 On one v5e chip at serving shapes (DDIM-10, batch 280 -> R = 28,000 rows)
 the per-step marginal is ~6.8 ms against a ~4.8 ms int8-MXU floor
 (docs/ROADMAP.md, 2026-08-18 sweep): the difference is elementwise HBM
