@@ -10,6 +10,9 @@ import sys
 
 import pytest
 
+# subprocess-level integration drives: minutes each on 1 CPU
+pytestmark = pytest.mark.slow
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 

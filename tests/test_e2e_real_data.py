@@ -9,6 +9,9 @@ import os
 import numpy as np
 import pytest
 
+# subprocess-level integration drives: minutes each on 1 CPU
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(scope="module")
 def dataset_root(tmp_path_factory):

@@ -13,6 +13,9 @@ import sys
 
 import numpy as np
 import pytest
+
+# subprocess-level integration drives: minutes each on 1 CPU
+pytestmark = pytest.mark.slow
 import yaml
 
 torch = pytest.importorskip("torch")
