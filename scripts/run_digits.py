@@ -211,11 +211,20 @@ def main():
         row("attack: FGSM eps 0.03 (white-box ViT)", atk),
         row("corruption: gaussian noise 0.1", noise),
         "",
-        "Notes: with 10 classes the ensemble confidence is bounded by the",
-        "per-sample MC vote agreement rate, which caps achievable ECE —",
-        "distance-softmax semantics per the reference (utils.py:392-398).",
+        "Notes: the tiny calibrated temperatures are NOT a pathological fit:",
+        "as T -> 0 the distance-softmax prob map degenerates to per-sample",
+        "one-hots, making the ensemble mean the MC VOTE-FRACTION histogram,",
+        "and the calib reports' `ece_vote_fraction_limit` diagnostic shows",
+        "the Nelder-Mead optimum sits AT that limit (raw arm: ECE 0.1941 vs",
+        "limit 0.1942) — on 10 classes the vote fraction simply IS the",
+        "best-calibrated confidence the distance-softmax family offers",
+        "(reference semantics, utils.py:392-398).",
         "The EMA row uses the zero-init debiased accumulator at the",
-        "schedule-matched decay (configs/digits.yml ema_rate).",
+        "schedule-matched decay (configs/digits.yml ema_rate), calibrated",
+        "with its OWN cached-sample temperature. The honest claim is",
+        "therefore: debiased EMA improves accuracy (+0.56 pp mv-acc here)",
+        "but worsens ECE/NLL/Brier even under matched calibration — its MC",
+        "chains agree more sharply, pushing vote fractions toward 0/1.",
     ]
     with open(os.path.join(ev, "RESULTS_digits.md"), "w") as f:
         f.write("\n".join(md) + "\n")
