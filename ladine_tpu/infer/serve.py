@@ -40,9 +40,14 @@ from ladine_tpu.ops.schedules import DiffusionSchedule
 #   serving — 50-step stochastic strided sampler + int8 eps matmuls
 #             (504.6 img/s; int8 row matches bf16 to 4 decimals).
 #   fast    — 10-step sampler + int8 eps + resident int8 encoder/heads
-#             (1590.9 img/s, 1943.8 at batch 280). Step count validated by
-#             the evidence step sweep (DDIM-10 at DDIM-50 accuracy/ECE) and
-#             the int8_enc suite row.
+#             (round-5 re-measure: 1590.0 img/s at B=70, 1945.1 at the
+#             B=280 knee with p50 171.3 ms / p99 180.6 ms per request —
+#             evidence/r5_bench_int8_b*.json; the knee survived the
+#             round-5 kernel A/B unchanged, so the 280 bucket cap stands).
+#             Step count validated by the evidence step sweep (DDIM-10 at
+#             DDIM-50 accuracy/ECE) and the int8_enc suite row. The fused
+#             Pallas int8 kernels measured SLOWER at every point
+#             (docs/ROADMAP.md item 6) and stay out of every preset.
 # A preset only sets sampler/quantization knobs — temperature, trials and
 # head wiring always come from the artifact.
 PRESETS = {
