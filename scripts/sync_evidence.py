@@ -32,6 +32,8 @@ def sync(work: str, dry_run: bool = False) -> list[str]:
     ev = os.path.join(REPO, "evidence")
     pairs: list[tuple[str, str]] = [
         (os.path.join(logs, "calib", "report.json"), "report_calib.json"),
+        (os.path.join(logs, "calib_ema", "report.json"),
+         "report_calib_ema.json"),
         (os.path.join(logs, "test_ema", "report.json"), "report_ema.json"),
         (os.path.join(logs, "suite_fp32", "report_cover_fp32.json"),
          "report_cover_fp32.json"),
