@@ -267,7 +267,15 @@ def main(argv=None) -> int:
             if "=" not in s:
                 raise SystemExit(f"--set expects section.key=value, got {s!r}")
             k, v = s.split("=", 1)
-            kv[k] = _yaml.safe_load(v)
+            parsed = _yaml.safe_load(v)
+            if isinstance(parsed, str):
+                # YAML 1.1 parses dot-less scientific notation ('5e-4') as a
+                # string; a silently-string lr would break downstream math
+                try:
+                    parsed = float(parsed)
+                except ValueError:
+                    pass
+            kv[k] = parsed
         cfg.apply_overrides(kv)
     cfg.data.seed = args.seed
 

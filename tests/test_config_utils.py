@@ -75,3 +75,48 @@ def test_setup_logging_writes_file(tmp_path):
     logger.info("hello world")
     with open(os.path.join(d, "stdout.txt")) as f:
         assert "hello world" in f.read()
+
+
+def test_cli_set_overrides_dotted_paths(tmp_path):
+    """--set K=V (repeatable) routes through Config.apply_overrides with
+    YAML scalar parsing — the generic knob surface (optim.lowmem etc.)."""
+    from ladine_tpu.cli.main import build_parser
+
+    args = build_parser().parse_args(
+        ["--demo", "--set", "optim.lowmem=true", "--set", "optim.lr=5e-4"])
+    assert args.set_overrides == ["optim.lowmem=true", "optim.lr=5e-4"]
+    import yaml
+
+    cfg = Config()
+    kv = {}
+    for s in args.set_overrides:
+        k, v = s.split("=", 1)
+        parsed = yaml.safe_load(v)
+        if isinstance(parsed, str):
+            # mirror cli.main: YAML 1.1 reads dot-less sci notation as str
+            try:
+                parsed = float(parsed)
+            except ValueError:
+                pass
+        kv[k] = parsed
+    cfg.apply_overrides(kv)
+    assert cfg.optim.lowmem is True
+    assert cfg.optim.lr == 5e-4
+
+
+def test_render_results_fallback(tmp_path):
+    """scripts/render_results.py builds a table from whatever reports are
+    synced — the chip-free RESULTS.md fallback (round-4 weak #2)."""
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out = tmp_path / "RESULTS.md"
+    res = subprocess.run(
+        [sys.executable, os.path.join(repo, "scripts", "render_results.py"),
+         "--out", str(out)],
+        capture_output=True, text=True, cwd=repo, timeout=120)
+    assert res.returncode == 0, res.stderr[-1500:]
+    text = out.read_text()
+    assert "| evaluation | acc % |" in text
+    assert "Rows landed:" in text
