@@ -153,3 +153,27 @@ def test_member_step_lowmem_trains():
     assert np.mean(l16[-10:]) < np.mean(l32[-10:]) + 0.05
     assert abs(np.mean(l16[-10:]) - np.mean(l32[-10:])) < 0.15
     assert jax.tree.leaves(st16.ema)[0].dtype == jnp.bfloat16
+
+
+def test_tpu_lowering_lowmem_step():
+    """The lowmem member step (rbg hardware RNG + uint32 bitcasts + SR) must
+    lower for the TPU target — pinned from the CPU host like the Pallas
+    kernels' export tests, so a backend-only lowering break cannot first
+    surface in the round-end hardware battery."""
+    from ladine_tpu.models import ConditionalModel
+    from ladine_tpu.ops import DiffusionSchedule
+    from ladine_tpu.train import create_member_state, make_member_step
+
+    cond = ConditionalModel(data_dim=48, feature_dim=16, hidden_dim=16,
+                            y_dim=2, n_steps=11)
+    sched = DiffusionSchedule.create("linear", 10, 1e-4, 0.02)
+    tx = make_optimizer("Adam", 1e-2, grad_clip=1.0, lowmem=True)
+    st = create_member_state(cond, jax.random.PRNGKey(1), tx,
+                             batch_size=2, lowmem=True)
+    step = make_member_step(cond, tx, sched, ema_rate=0.99)
+    x = jnp.zeros((4, 48))
+    y0 = jnp.eye(2)[jnp.array([0, 1, 0, 1])]
+    yhat = jnp.full((4, 2), 0.5)
+    exp = jax.export.export(jax.jit(step), platforms=["tpu"])(
+        st, x, y0, yhat, jax.random.PRNGKey(3))
+    assert "tpu" in exp.platforms
