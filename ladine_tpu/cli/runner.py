@@ -625,10 +625,23 @@ class Runner:
             import json as _json
 
             meta_p = os.path.join(resume_from, "ladine_meta.json")
-            if os.path.exists(meta_p) and _json.load(open(meta_p)).get("light"):
+            ckpt_meta = (_json.load(open(meta_p))
+                         if os.path.exists(meta_p) else {})
+            if ckpt_meta.get("light"):
                 raise ValueError(
                     f"{resume_from} is a --light_ckpt checkpoint (no optimizer "
                     "state); it can be evaluated/exported but not resumed"
+                )
+            ckpt_lowmem = bool(ckpt_meta.get("lowmem", False))
+            if ckpt_lowmem != bool(c.optim.lowmem):
+                # the restore template's moment/EMA dtypes must match the
+                # checkpoint's (bf16 SR state vs fp32, train/lowmem.py) —
+                # a silent cross-mode restore would cast state and skew Adam
+                raise ValueError(
+                    f"{resume_from} was trained with optim.lowmem="
+                    f"{ckpt_lowmem} but this run has optim.lowmem="
+                    f"{c.optim.lowmem}; pass --set optim.lowmem="
+                    f"{str(ckpt_lowmem).lower()} to resume it"
                 )
             tree, meta = load_checkpoint(resume_from, target={"states": states, "guidance": gvars})
             states, gvars = tree["states"], tree["guidance"]
@@ -813,7 +826,10 @@ class Runner:
                             # eval loaders divide by 1 - mu^step. 'copy' =
                             # legacy direct-read shadow (resumed legacy runs)
                             "ema_init": ema_init_mode,
-                            "ema_rate": float(c.model.ema_rate)}
+                            "ema_rate": float(c.model.ema_rate),
+                            # bf16 Adam/EMA state (train/lowmem.py): resume
+                            # must rebuild the same state dtypes
+                            "lowmem": bool(c.optim.lowmem)}
                     ckpt_gvars = gvars
                     if light_ckpt:
                         # eval-relevant state only, cast to the compute dtype
