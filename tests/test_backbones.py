@@ -24,6 +24,7 @@ from ladine_tpu.train import create_vit_state, make_optimizer, make_vit_train_st
     ],
     ids=["deit", "deit_distilled", "convit", "effnetv2_s", "effnetv2_l"],
 )
+@pytest.mark.slow
 def test_backbone_forward(model):
     x = jax.random.uniform(jax.random.PRNGKey(0), (2, 16, 16, 3))
     v = model.init(jax.random.PRNGKey(1), x)
@@ -55,6 +56,7 @@ def test_gpsa_attention_rows_normalized():
     assert np.isfinite(np.asarray(out)).all()
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("arch", ["deit", "convit", "efficientnetv2"])
 def test_backbone_trains_one_step(arch):
     if arch == "deit":

@@ -122,6 +122,7 @@ def test_no_cat_f_phi_changes_param_count():
     assert n_g > n_n
 
 
+@pytest.mark.slow
 def test_noise_prior_sample_only_reference_semantics(tmp_path):
     """--noise_prior_sample_only: training q_sample keeps the guidance prior
     (the reference's live train loop never consults the flag) while the

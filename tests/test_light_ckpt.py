@@ -22,6 +22,7 @@ def _train(tmp_path, doc, dtype=None, **kw):
     return runner, out
 
 
+@pytest.mark.slow
 def test_light_ckpt_saves_eval_payload_only(tmp_path):
     runner, out = _train(tmp_path, "t1")
     ck = out["best_ckpt_path"]
@@ -45,12 +46,14 @@ def test_light_ckpt_saves_eval_payload_only(tmp_path):
     assert a.shape == b.shape
 
 
+@pytest.mark.slow
 def test_light_ckpt_refuses_resume(tmp_path):
     runner, out = _train(tmp_path, "t2")
     with pytest.raises(ValueError, match="light_ckpt"):
         runner.train(jax.random.PRNGKey(4), epochs=2, resume_from=out["best_ckpt_path"])
 
 
+@pytest.mark.slow
 def test_light_ckpt_references_stage1_guidance(tmp_path):
     """With frozen stage-1 artifacts, light checkpoints store the artifact
     PATHS instead of a full guidance copy, supersede previous bests on disk,
@@ -104,6 +107,7 @@ def test_light_ckpt_references_stage1_guidance(tmp_path):
     assert len(bests) == 1
 
 
+@pytest.mark.slow
 def test_light_ckpt_bf16_casts_floats(tmp_path):
     import jax.numpy as jnp
 

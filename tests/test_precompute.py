@@ -20,6 +20,7 @@ def _run_train(tmp_path, doc, precompute):
                         precompute_yhat=precompute)
 
 
+@pytest.mark.slow
 def test_precompute_matches_in_step_guidance(tmp_path):
     """Same seeds: training with cached y0_hat reproduces the in-step
     guidance run's losses exactly (the guidance is frozen, so its output
@@ -96,6 +97,7 @@ def test_mlp_idx_matches_concurrent_member(tmp_path):
     assert os.listdir(os.path.join(out_one, "ChestXRay", "MLPs")) == ["block_1"]
 
 
+@pytest.mark.slow
 def test_sequential_matches_per_invocation(tmp_path):
     """--sequential trains the same members with the same init keys as K
     separate --mlp_idx invocations (one ViT load instead of K), and skips

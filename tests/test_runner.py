@@ -49,6 +49,7 @@ def test_train_single_member_and_out_of_range(demo_runner):
         demo_runner.train(jax.random.PRNGKey(0), epochs=1, member_idx=7)
 
 
+@pytest.mark.slow
 def test_joint_train_saves_and_resumes_aux(tmp_path):
     import os
 
