@@ -481,8 +481,13 @@ def main():
     # each on the chip once compiled.
     e1 = 2 if args.fast else 80
     # diffusion members need real step counts to track the guidance (the
-    # reference trains 1000 epochs; at ~0.2 s/step 100 epochs is ~6 min)
-    e3 = 4 if args.fast else 100
+    # reference trains 1000 epochs; at ~0.2 s/step 100 epochs is ~6 min).
+    # LADINE_SUITE_E3 overrides the member epoch count for deadline-bound
+    # relaunches (round-5: a slow-host VM at ~16 s/epoch could not fit
+    # 5x100 epochs before the chip handoff; members checkpoint on BEST
+    # val accuracy, so fewer epochs degrade gracefully). The generated
+    # RESULTS.md records the override.
+    e3 = 4 if args.fast else int(os.environ.get("LADINE_SUITE_E3", "100"))
     # stage-1 geometry must match the config (see configs/synthetic_tiny.yml)
     dims = (["--image_size", "32", "--patch_size", "8", "--embed_dim", "32",
              "--depth", "5", "--num_heads", "2"] if args.tiny else [])
@@ -701,6 +706,10 @@ def main():
         "ViT-B/16 guidance, 5 mapping MLPs (150528->4096->2048->128), 5 CARD",
         "members (150528->4096 encoder, T=1000), MC trials 20, test batch 70",
         "(drop_last). Reproduce with `python scripts/run_results.py --work <dir>`.",
+        *([f"NOTE: member training epochs overridden to {e3} for this run "
+           f"(LADINE_SUITE_E3; deadline-bound relaunch — best-val-acc "
+           f"checkpoint selection, see the script's e3 comment)."]
+          if os.environ.get("LADINE_SUITE_E3") else []),
         "",
         "The task is deliberately NON-SATURATING: both classes contain the same",
         "feature types (blobs + ridges); the class signal is only the mixture",
